@@ -1,0 +1,185 @@
+"""Self-contained CLIP-style tokenizer.
+
+The reference relies on ``open_clip.get_tokenizer('ViT-B-16')`` (reference
+``utils/inc_net.py:20``), which ships a 49,408-entry BPE vocabulary. This module
+implements the same contract — ``tokenizer(list_of_strings) -> [N, 77] int array``
+with SOT/EOT framing and zero padding — with two interchangeable backends:
+
+* ``BPETokenizer``: loads a standard CLIP BPE vocab file
+  (``bpe_simple_vocab_16e6.txt.gz``) when one is available on disk, producing
+  token ids identical to open_clip (needed when importing pretrained weights).
+* ``ByteTokenizer``: a deterministic offline fallback mapping UTF-8 bytes to ids
+  ``1..256``. No vocabulary download required; identical text always produces
+  identical ids, which is all the framework semantics require when the backbone
+  is randomly initialized.
+
+Both produce static ``[N, context_length]`` int32 arrays (XLA-friendly: fixed
+shape, eot position = argmax of ids as in CLIP).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import os
+import re
+from functools import lru_cache
+from typing import List, Sequence, Union
+
+import numpy as np
+
+CONTEXT_LENGTH = 77
+VOCAB_SIZE = 49408
+SOT_ID = VOCAB_SIZE - 2  # 49406 <start_of_text>
+EOT_ID = VOCAB_SIZE - 1  # 49407 <end_of_text>
+
+DEFAULT_BPE_PATHS = (
+    os.environ.get("TEAM_BPE_VOCAB", ""),
+    os.path.expanduser("~/.cache/clip/bpe_simple_vocab_16e6.txt.gz"),
+    "/root/repo/assets/bpe_simple_vocab_16e6.txt.gz",
+)
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Reversible byte <-> printable-unicode map (the standard GPT-2/CLIP scheme)."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1)) + list(range(ord("®"), ord("ÿ") + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def _basic_clean(text: str) -> str:
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def _whitespace_clean(text: str) -> str:
+    return re.sub(r"\s+", " ", text).strip()
+
+
+_WORD_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+    if False  # \p classes need regex module; use the ASCII-safe equivalent below
+    else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
+    re.IGNORECASE,
+)
+
+
+class ByteTokenizer:
+    """Deterministic offline tokenizer: UTF-8 byte b -> id b+1 (ids 1..256).
+
+    Keeps SOT/EOT ids at the CLIP positions so the text tower's vocabulary and
+    eot-pooling (argmax over ids) behave identically to the BPE backend.
+    """
+
+    context_length = CONTEXT_LENGTH
+    vocab_size = VOCAB_SIZE
+
+    def encode(self, text: str) -> List[int]:
+        raw = _whitespace_clean(_basic_clean(text)).lower().encode("utf-8")
+        return [b + 1 for b in raw]
+
+    def __call__(self, texts: Union[str, Sequence[str]], context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, t in enumerate(texts):
+            toks = [SOT_ID] + self.encode(t)[: context_length - 2] + [EOT_ID]
+            out[i, : len(toks)] = toks
+        return out
+
+
+class BPETokenizer:
+    """CLIP BPE tokenizer compatible with open_clip token ids.
+
+    Implemented from the published BPE algorithm (merge-rank greedy pairing over
+    byte-mapped unicode), loading the standard merge table from ``bpe_path``.
+    """
+
+    context_length = CONTEXT_LENGTH
+
+    def __init__(self, bpe_path: str):
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
+            merges = f.read().split("\n")
+        merges = merges[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(m.split()) for m in merges]
+        vocab = list(bytes_to_unicode().values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        for merge in merges:
+            vocab.append("".join(merge))
+        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
+        self.encoder = dict(zip(vocab, range(len(vocab))))
+        self.bpe_ranks = dict(zip(merges, range(len(merges))))
+        self.cache = {"<|startoftext|>": "<|startoftext|>", "<|endoftext|>": "<|endoftext|>"}
+        self.vocab_size = len(vocab)
+
+    def _bpe(self, token: str) -> str:
+        if token in self.cache:
+            return self.cache[token]
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        if not pairs:
+            return token + "</w>"
+        while True:
+            bigram = min(pairs, key=lambda pair: self.bpe_ranks.get(pair, float("inf")))
+            if bigram not in self.bpe_ranks:
+                break
+            first, second = bigram
+            new_word: List[str] = []
+            i = 0
+            while i < len(word):
+                try:
+                    j = word.index(first, i)
+                    new_word.extend(word[i:j])
+                    i = j
+                except ValueError:
+                    new_word.extend(word[i:])
+                    break
+                if word[i] == first and i < len(word) - 1 and word[i + 1] == second:
+                    new_word.append(first + second)
+                    i += 2
+                else:
+                    new_word.append(word[i])
+                    i += 1
+            word = tuple(new_word)
+            if len(word) == 1:
+                break
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        result = " ".join(word)
+        self.cache[token] = result
+        return result
+
+    def encode(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
+        text = _whitespace_clean(_basic_clean(text)).lower()
+        for token in re.findall(_WORD_PAT, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            bpe_tokens.extend(self.encoder[t] for t in self._bpe(token).split(" "))
+        return bpe_tokens
+
+    def __call__(self, texts: Union[str, Sequence[str]], context_length: int = CONTEXT_LENGTH) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        sot, eot = self.encoder["<|startoftext|>"], self.encoder["<|endoftext|>"]
+        out = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, t in enumerate(texts):
+            toks = [sot] + self.encode(t)[: context_length - 2] + [eot]
+            out[i, : len(toks)] = toks
+        return out
+
+
+def Tokenizer(bpe_path: str | None = None):
+    """Factory: BPE tokenizer when a vocab file is available, byte fallback otherwise."""
+    candidates = [bpe_path] if bpe_path else list(DEFAULT_BPE_PATHS)
+    for p in candidates:
+        if p and os.path.isfile(p):
+            return BPETokenizer(p)
+    return ByteTokenizer()

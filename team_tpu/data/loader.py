@@ -1,0 +1,115 @@
+"""Batched host-side loader: threaded decode + transform -> NHWC numpy batches.
+
+Replaces the reference's torch ``DataLoader(num_workers=8)`` worker processes
+(reference ``models/proof.py:19,300``) with a thread-pool decode pipeline (PIL
+releases the GIL during file IO/decode) and optional double-buffered prefetch so
+host decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from team_tpu.data.manager import TeamDataset
+from team_tpu.data.transforms import clip_transform, flip_transform, vit_train_transform
+
+
+def _load_image(item) -> Image.Image:
+    if isinstance(item, (str, np.str_)):
+        with open(item, "rb") as f:
+            with Image.open(f) as img:
+                return img.convert("RGB")
+    return Image.fromarray(np.asarray(item))
+
+
+class ArrayLoader:
+    """Iterates a :class:`TeamDataset` in batches of numpy arrays.
+
+    Yields dict batches: ``image [B,H,W,3] f32``, ``label [B] i32``,
+    ``stage_id [B] i32``, ``index [B] i32`` (mirroring the reference multimodal
+    dict batches, ``data_manager.py:521-567``).
+    """
+
+    def __init__(self, dataset: TeamDataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, num_threads: int = 8, image_size: int = 224,
+                 prefetch: int = 2, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.image_size = image_size
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _transform(self, img: Image.Image, rng: Optional[np.random.Generator]) -> np.ndarray:
+        mode = self.dataset.mode
+        if mode == "flip":
+            return flip_transform(img, self.image_size)
+        if mode == "train" and not self.dataset.deterministic_train:
+            return vit_train_transform(img, self.image_size, rng=rng, normalize=True)
+        return clip_transform(img, self.image_size)
+
+    def _make_batch(self, idxs: np.ndarray, pool, rng) -> Dict[str, np.ndarray]:
+        items = [self.dataset.images[i] for i in idxs]
+        rngs = [np.random.default_rng(rng.integers(0, 2 ** 31)) for _ in idxs] if rng else [None] * len(idxs)
+
+        def work(args):
+            item, r = args
+            return self._transform(_load_image(item), r)
+
+        imgs = list(pool.map(work, zip(items, rngs)))
+        return {
+            "image": np.stack(imgs).astype(np.float32),
+            "label": self.dataset.labels[idxs].astype(np.int32),
+            "stage_id": self.dataset.stages[idxs].astype(np.int32),
+            "index": idxs.astype(np.int32),
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        rng = None
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            order = rng.permutation(n)
+        self._epoch += 1
+        nb = len(self)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            if self.prefetch <= 0:
+                for b in range(nb):
+                    yield self._make_batch(order[b * self.batch_size:(b + 1) * self.batch_size], pool, rng)
+                return
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            stop = object()
+
+            def producer():
+                try:
+                    for b in range(nb):
+                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        q.put(self._make_batch(idxs, pool, rng))
+                finally:
+                    q.put(stop)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+            t.join()

@@ -1,0 +1,118 @@
+"""Adaptive insect-state distance matrix.
+
+Counterpart of reference ``utils/state_distance.py:7-206``: a 10×10 matrix of
+pairwise state distances with a biological prior init, a symmetrized getter, an
+EMA update from batch state centroids, and the GCN-merge update actually used by
+the training loop (reference ``models/proof.py:665-675``).
+
+Implementation note on the GCN merge: the reference iterates the nested distance
+dict, which contains *both* orders of every unordered pair, and writes
+``[s1, s2]`` and ``[s2, s1]`` each time — so every off-diagonal pair receives the
+EMA step twice (effective ``0.49·old + 0.51·new`` for w=0.3) while diagonal
+entries receive it once. We reproduce that exactly in parity mode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def biological_prior_matrix(num_states: int = 10) -> np.ndarray:
+    """Prior distances (reference ``utils/state_distance.py:20-43``):
+    larva(1)↔adult(4)=2.0, nymph(3)↔adult(4)=0.7, larva(1)↔pupa(2)=1.5,
+    egg(0)↔everything=1.8 (egg diag 1.0), all else 1.0."""
+    m = np.ones((num_states, num_states), dtype=np.float32)
+    m[1, 4] = m[4, 1] = 2.0
+    m[3, 4] = m[4, 3] = 0.7
+    m[1, 2] = m[2, 1] = 1.5
+    m[0, :] = m[:, 0] = 1.8
+    m[0, 0] = 1.0
+    return m
+
+
+class StateDistanceMatrix:
+    """Host-side container; the matrix itself is a jnp array fed to device fns."""
+
+    def __init__(self, num_states: int = 10, feature_dim: int = 512,
+                 init_with_prior: bool = True, update_interval: int = 10,
+                 decay_factor: float = 0.9):
+        self.num_states = num_states
+        self.feature_dim = feature_dim
+        init = biological_prior_matrix(num_states) if init_with_prior else np.ones((num_states, num_states), np.float32)
+        self.distance_factors = jnp.asarray(init)
+        self.update_history: List[Dict] = []
+        self.update_interval = update_interval
+        self.decay_factor = decay_factor
+        self.update_counter = 0
+
+    # ------------------------------------------------------------------
+    def get_distance_matrix(self) -> jax.Array:
+        """Symmetrized matrix with unit diagonal (reference ``:65-71``)."""
+        sym = (self.distance_factors + self.distance_factors.T) / 2.0
+        eye = jnp.eye(self.num_states, dtype=sym.dtype)
+        return sym * (1 - eye) + eye
+
+    def get_state_distance(self, s1: int, s2: int) -> float:
+        return float(self.distance_factors[s1, s2])
+
+    # ------------------------------------------------------------------
+    def merge_gcn_distances(self, gcn_dist: jax.Array, valid: jax.Array, weight: float = 0.3) -> None:
+        """Fold temporal-GCN distances into the matrix (reference
+        ``models/proof.py:665-682``). ``gcn_dist/valid: [S, S]``; off-diagonal
+        valid pairs get the double-EMA (see module docstring), diagonal single."""
+        self.distance_factors = merge_gcn_distances(self.distance_factors, gcn_dist, valid, weight)
+        n_changed = int(jnp.sum(valid))
+        if n_changed:
+            self.update_history.append(
+                {"epoch": len(self.update_history), "source": "temporal_gcn", "changes": n_changed}
+            )
+
+    # ------------------------------------------------------------------
+    def ema_update_from_batch(self, state_features: jax.Array, state_ids: jax.Array) -> jax.Array:
+        """Batch-centroid EMA update (reference ``forward``, ``:79-144``).
+
+        NOTE: the reference defines but never invokes this path (SURVEY.md §5
+        quirk 8); it is provided as a capability, gated by ``update_interval``.
+        """
+        if self.update_counter % self.update_interval == 0:
+            self.distance_factors = ema_update(
+                self.distance_factors, state_features, state_ids, self.decay_factor, self.num_states
+            )
+        self.update_counter += 1
+        return self.get_distance_matrix()
+
+
+@jax.jit
+def merge_gcn_distances(dist: jax.Array, gcn_dist: jax.Array, valid: jax.Array, weight: float = 0.3) -> jax.Array:
+    offdiag = valid * (1 - jnp.eye(dist.shape[0], dtype=dist.dtype))
+    diag = valid * jnp.eye(dist.shape[0], dtype=dist.dtype)
+    w1 = 1.0 - weight
+    # applied twice for off-diagonal (both orders present in the reference dict)
+    twice = (w1 * w1) * dist + (1 - w1 * w1) * gcn_dist
+    once = w1 * dist + weight * gcn_dist
+    out = jnp.where(offdiag > 0, twice, dist)
+    out = jnp.where(diag > 0, once, out)
+    return out
+
+
+@jax.jit
+def ema_update(dist: jax.Array, state_features: jax.Array, state_ids: jax.Array,
+               decay: float, num_states: int = 10) -> jax.Array:
+    """Vectorized batch-centroid EMA (reference ``state_distance.py:95-137``):
+    centroids for states 1..num_states-1 present in the batch, cosine-similarity
+    distance ``2 - sim`` , EMA with ``decay``."""
+    onehot = jax.nn.one_hot(state_ids, num_states, dtype=state_features.dtype)  # [B, S]
+    counts = onehot.sum(0)  # [S]
+    present = counts > 0
+    present = present.at[0].set(False)  # reference loops state_id in range(1, S)
+    centers = (onehot.T @ state_features) / jnp.maximum(counts[:, None], 1.0)
+    cn = centers / jnp.maximum(jnp.linalg.norm(centers, axis=-1, keepdims=True), 1e-12)
+    sim = cn @ cn.T
+    new_d = 2.0 - sim
+    pair = (present[:, None] & present[None, :]) & ~jnp.eye(num_states, dtype=bool)
+    ema = decay * dist + (1 - decay) * new_d
+    return jnp.where(pair, ema, dist)

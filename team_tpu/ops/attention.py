@@ -1,0 +1,66 @@
+"""Multi-head attention front-end: picks the Pallas flash kernel on TPU and a
+fused-XLA path elsewhere.
+
+This is the single attention entry point for the CLIP towers
+(``team_tpu.backbone``) and the PROOF fusion layer. The reference computes
+attention three separate ways (open_clip CUDA kernels for the towers, a hand-rolled
+``ScaledDotProductAttention`` for fusion, reference ``convs/projections.py:22-38``);
+here one kernel serves all of them.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from team_tpu.ops.flash_attention import flash_attention
+
+NEG_INF = -1e30
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len=None,
+    *,
+    causal: bool = False,
+) -> jax.Array:
+    """Plain XLA attention over [B, H, S, Dh]; fp32 softmax accumulation."""
+    dh = q.shape[-1]
+    s = q.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (dh ** -0.5)
+    kv_positions = jnp.arange(s)[None, :]
+    mask = jnp.ones((s, s), dtype=bool)
+    if causal:
+        mask = jnp.tril(mask)
+    if kv_len is not None:
+        mask = jnp.logical_and(mask, kv_positions < kv_len)
+    logits = jnp.where(mask[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_len=None,
+    *,
+    causal: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Scaled-dot-product attention over ``[B, H, S, Dh]``.
+
+    ``impl``: 'pallas' forces the flash kernel, 'xla' the einsum path, 'auto'
+    selects pallas on TPU backends and xla otherwise (CPU tests, interpreters).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl == "pallas":
+        return flash_attention(q, k, v, kv_len, causal=causal)
+    return _xla_attention(q, k, v, kv_len, causal=causal)

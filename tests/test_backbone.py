@@ -1,0 +1,97 @@
+"""Backbone unit tests: tokenizer contract, tower shapes, flash-attention parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from team_tpu.backbone.clip import CLIPConfig, CLIPModel, encode_image, encode_text, init_clip_params
+from team_tpu.backbone.tokenizer import ByteTokenizer, CONTEXT_LENGTH, EOT_ID, SOT_ID, Tokenizer
+from team_tpu.ops.attention import _xla_attention
+from team_tpu.ops.flash_attention import flash_attention
+
+
+def test_tokenizer_contract():
+    tok = Tokenizer()
+    out = tok(["a photo of Papilio xuthus, a type of insect", "bee"])
+    assert out.shape == (2, CONTEXT_LENGTH)
+    assert out.dtype == np.int32
+    if isinstance(tok, ByteTokenizer):
+        assert out[0, 0] == SOT_ID
+        assert EOT_ID in out[0]
+    # determinism
+    np.testing.assert_array_equal(out, tok(["a photo of Papilio xuthus, a type of insect", "bee"]))
+    # eot position = argmax of ids (CLIP pooling invariant)
+    eot_pos = out.argmax(axis=1)
+    for i in range(2):
+        assert out[i, eot_pos[i]] == out[i].max()
+
+
+def test_vision_tower_shapes():
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.ones((3, cfg.vision.image_size, cfg.vision.image_size, 3))
+    feats = encode_image(params, imgs, cfg, attn_impl="xla")
+    assert feats.shape == (3, cfg.embed_dim)
+    assert bool(jnp.all(jnp.isfinite(feats)))
+
+
+def test_text_tower_shapes_and_eot_pooling():
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    tok = ByteTokenizer()
+    tokens = jnp.asarray(tok(["hello world", "a much longer piece of text about insects"]))
+    feats = encode_text(params, tokens, cfg, attn_impl="xla")
+    assert feats.shape == (2, cfg.embed_dim)
+    # padding after EOT must not change features (causal mask + eot pooling)
+    tokens2 = np.array(tokens)
+    feats2 = encode_text(params, jnp.asarray(tokens2), cfg, attn_impl="xla")
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(feats2), rtol=1e-6)
+
+
+def test_clip_model_wrapper():
+    model = CLIPModel(CLIPConfig.tiny(), seed=0, attn_impl="xla")
+    assert model.out_dim == model.cfg.embed_dim
+    assert np.isclose(float(model.logit_scale), np.log(1 / 0.07))
+
+
+def _naive_attention(q, k, v, causal=False, kv_len=None):
+    s = q.shape[2]
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(q.shape[-1])
+    mask = np.ones((s, s), bool)
+    if causal:
+        mask = np.tril(mask)
+    if kv_len is not None:
+        mask = mask & (np.arange(s)[None, :] < kv_len)
+    logits = np.where(mask[None, None], logits, -1e30)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+import pytest
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="Pallas flash kernel runs on TPU; interpret mode is "
+                           "impractically slow on CPU (validated on-chip)")
+def test_flash_attention_matches_naive_on_tpu():
+    rng = np.random.default_rng(0)
+    for b, h, s, d, causal, kvl in [(2, 3, 80, 32, False, 80), (2, 3, 80, 32, True, 80),
+                                    (1, 2, 64, 16, False, 37)]:
+        q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+        k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+        v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+        out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kvl, causal=causal)
+        ref = _naive_attention(q, k, v, causal=causal, kv_len=kvl)
+        np.testing.assert_allclose(np.asarray(out)[:, :, :kvl], ref[:, :, :kvl], atol=2e-5)
+
+
+def test_xla_attention_matches_naive():
+    rng = np.random.default_rng(2)
+    b, h, s, d = 2, 2, 10, 8
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    out = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), s, causal=True)
+    ref = _naive_attention(q, k, v, causal=True, kv_len=s)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
