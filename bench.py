@@ -1,0 +1,72 @@
+"""Headline benchmark: CLIP ViT-B/16 image-encode throughput on one chip.
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``. The
+north-star target is >=10k images/sec/chip ViT-B/16 feature extraction on v5e
+(BASELINE.json); ``vs_baseline`` is value / 10000.
+
+Protocol: bf16 compute, Pallas flash attention, device-resident normalized
+inputs (the deterministic IIMinsects preprocess runs once on host — frozen
+backbone + deterministic transform makes features cacheable, so steady-state
+training throughput is bounded by exactly this encode path).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
+
+BASELINE_TARGET = 10_000.0  # images/sec/chip (BASELINE.json north star)
+
+
+def bench_image_encode(batch_size: int = 256, iters: int = 20, warmup: int = 3,
+                       compute_dtype=jnp.bfloat16, attn_impl: str = "auto") -> float:
+    cfg = CLIPConfig.vit_b16()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x), params)
+
+    fn = jax.jit(lambda p, x: encode_image(p, x, cfg, compute_dtype=compute_dtype,
+                                           attn_impl=attn_impl))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch_size, 224, 224, 3)).astype(np.float32))
+
+    # chain each iteration on the previous output so no proxy/runtime layer can
+    # dedupe repeated identical executions
+    def chained(p, x, it):
+        feats = fn(p, x)
+        perturb = jnp.mean(feats) * 1e-6 + it * 1e-9
+        return x + perturb, feats
+
+    def sync(t):
+        # the axon tunnel does not honor block_until_ready; a host fetch of the
+        # result is the only reliable completion barrier
+        return float(jnp.sum(t))
+
+    for i in range(warmup):
+        x, out = chained(params, x, i)
+    sync(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        x, out = chained(params, x, i)
+    sync(out)
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main() -> None:
+    ips = bench_image_encode()
+    print(json.dumps({
+        "metric": "images/sec/chip CLIP ViT-B/16 image encode",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / BASELINE_TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

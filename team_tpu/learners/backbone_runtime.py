@@ -1,0 +1,87 @@
+"""Shared frozen-CLIP runtime for all learners.
+
+Counterpart of reference ``get_convnet`` (``utils/inc_net.py:12-36``): builds the
+ViT-B/16 towers + tokenizer for convnet_type in {clip, clip_laion2b, openai_clip}
+(pretrained weights load from ``TEAM_CLIP_CHECKPOINT`` when available — this
+image has no network egress, so random init otherwise) and exposes jitted
+``encode_image`` / ``encode_text`` with a text-feature cache keyed by the exact
+prompt strings (valid because the backbone is frozen).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from team_tpu.backbone.clip import CLIPConfig, encode_image, encode_text, init_clip_params
+from team_tpu.backbone.tokenizer import Tokenizer
+from team_tpu.config import Config
+
+_KNOWN_TYPES = ("clip", "clip_laion2b", "openai_clip")
+
+
+def clip_config_for(cfg: Config) -> CLIPConfig:
+    if cfg.convnet_type.lower() not in _KNOWN_TYPES and "clip" not in cfg.convnet_type.lower():
+        raise NotImplementedError(f"Unknown type {cfg.convnet_type}")
+    if cfg.get("tiny_backbone", False):
+        return CLIPConfig.tiny()
+    return CLIPConfig.vit_b16()
+
+
+class BackboneRuntime:
+    def __init__(self, cfg: Config, seed: int = 0):
+        self.cfg = cfg
+        self.clip_cfg = clip_config_for(cfg)
+        ckpt = os.environ.get("TEAM_CLIP_CHECKPOINT")
+        if ckpt and os.path.isfile(ckpt):
+            from team_tpu.backbone.import_weights import load_clip_checkpoint
+
+            logging.info("loading CLIP checkpoint from %s", ckpt)
+            self.params = load_clip_checkpoint(ckpt, self.clip_cfg)
+        else:
+            logging.info("no CLIP checkpoint available; random init (offline image)")
+            self.params = init_clip_params(jax.random.PRNGKey(seed), self.clip_cfg)
+        self.tokenizer = Tokenizer()
+        self.out_dim = self.clip_cfg.embed_dim
+        self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.attn_impl = cfg.attention_impl
+        self._text_cache: Dict[str, np.ndarray] = {}
+
+        self._encode_image = jax.jit(
+            partial(encode_image, cfg=self.clip_cfg, compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl)
+        )
+        self._encode_text = jax.jit(
+            partial(encode_text, cfg=self.clip_cfg, compute_dtype=self.compute_dtype,
+                    attn_impl=self.attn_impl)
+        )
+
+    # -- frozen-backbone encodes ---------------------------------------
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self._encode_image(self.params, images)
+
+    def encode_text_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self._encode_text(self.params, tokens)
+
+    def encode_texts(self, texts: Sequence[str], cache: bool = True) -> jnp.ndarray:
+        """Encode strings; frozen backbone makes per-string caching exact."""
+        missing = [t for t in texts if t not in self._text_cache] if cache else list(texts)
+        if missing:
+            toks = jnp.asarray(self.tokenizer(missing))
+            feats = np.asarray(self.encode_text_tokens(toks))
+            if cache:
+                for t, f in zip(missing, feats):
+                    self._text_cache[t] = f
+        if cache:
+            return jnp.asarray(np.stack([self._text_cache[t] for t in texts]))
+        return jnp.asarray(feats)
+
+    @property
+    def logit_scale(self) -> jnp.ndarray:
+        return self.params["logit_scale"]

@@ -1,0 +1,328 @@
+"""Base class-incremental learner: evaluation harness + rehearsal memory.
+
+Counterpart of reference ``models/base.py:14-458``: task counters, exemplar
+sizing, herding-based rehearsal memory (global and per-state), grouped/top-k
+evaluation, NME evaluation, and template-ensembled CLIP zero-shot evaluation.
+
+TPU-native deltas:
+* feature extraction batches through one jitted frozen-backbone encode;
+* NME distances and herding run on device (JAX) with numpy orchestration;
+* stage ids travel with rehearsal memory explicitly.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from team_tpu.config import Config
+from team_tpu.data.loader import ArrayLoader
+from team_tpu.data.manager import DataManager
+from team_tpu.utils.toolkit import accuracy, topk_accuracy
+
+EPSILON = 1e-8
+EVAL_BATCH = 128
+
+
+class BaseLearner:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self._cur_task = -1
+        self._known_classes = 0
+        self._total_classes = 0
+        self._data_memory: np.ndarray = np.array([])
+        self._targets_memory: np.ndarray = np.array([])
+        self._stages_memory: np.ndarray = np.array([])
+        self.topk = 4  # reported as "top5" by the reference trainer (quirk 5)
+
+        self._memory_size = cfg.memory_size
+        self._memory_per_class = cfg.memory_per_class
+        self._fixed_memory = cfg.fixed_memory
+        self.batch_size = cfg.batch_size
+        self.image_size = 224  # overridden by learners from the backbone config
+        self.data_manager: Optional[DataManager] = None
+        self.test_loader: Optional[ArrayLoader] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def exemplar_size(self) -> int:
+        assert len(self._data_memory) == len(self._targets_memory), "Exemplar size error."
+        return len(self._targets_memory)
+
+    @property
+    def samples_per_class(self) -> int:
+        if self._fixed_memory:
+            return self._memory_per_class
+        assert self._total_classes != 0, "Total classes is 0"
+        return self._memory_size // self._total_classes
+
+    @property
+    def feature_dim(self) -> int:
+        raise NotImplementedError
+
+    def _get_memory(self):
+        if len(self._data_memory) == 0:
+            return None
+        return (self._data_memory, self._targets_memory, self._stages_memory)
+
+    # -- subclass hooks -------------------------------------------------
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Learner-level image embedding (may include projections)."""
+        raise NotImplementedError
+
+    def encode_text_labels(self, texts) -> jnp.ndarray:
+        """Learner-level text embedding for a list of strings."""
+        raise NotImplementedError
+
+    def extract_vector(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Frozen-backbone feature (reference ``extract_vector``)."""
+        raise NotImplementedError
+
+    def incremental_train(self, data_manager: DataManager) -> None:
+        raise NotImplementedError
+
+    def after_task(self) -> None:
+        self._known_classes = self._total_classes
+        logging.info("Exemplar size: %d", self.exemplar_size)
+
+    # ------------------------------------------------------------------
+    def _loader(self, dataset, shuffle=False, batch_size=None) -> ArrayLoader:
+        return ArrayLoader(
+            dataset,
+            batch_size or self.batch_size,
+            shuffle=shuffle,
+            num_threads=self.cfg.num_io_threads,
+            image_size=self.image_size,
+        )
+
+    def _extract_vectors(self, loader: ArrayLoader) -> Tuple[np.ndarray, np.ndarray]:
+        vectors, targets = [], []
+        for batch in loader:
+            feats = self.extract_vector(jnp.asarray(batch["image"]))
+            vectors.append(np.asarray(feats))
+            targets.append(batch["label"])
+        return np.concatenate(vectors), np.concatenate(targets)
+
+    def _extract_vectors_with_states(self, loader: ArrayLoader):
+        vectors, targets, states = [], [], []
+        for batch in loader:
+            feats = self.extract_vector(jnp.asarray(batch["image"]))
+            vectors.append(np.asarray(feats))
+            targets.append(batch["label"])
+            states.append(batch["stage_id"])
+        return np.concatenate(vectors), np.concatenate(targets), np.concatenate(states)
+
+    # ------------------------------------------------------------------
+    # evaluation
+    # ------------------------------------------------------------------
+    def _evaluate(self, y_pred: np.ndarray, y_true: np.ndarray) -> Dict:
+        grouped = accuracy(y_pred.T[0], y_true, self._known_classes)
+        ret = {"grouped": grouped, "top1": grouped["total"]}
+        ret[f"top{self.topk}"] = topk_accuracy(y_pred[:, : self.topk], y_true)
+        return ret
+
+    def _evaluate_zs(self, y_pred: np.ndarray, y_true: np.ndarray) -> Dict:
+        grouped = accuracy(y_pred.T[0], y_true, self._total_classes)
+        ret = {"grouped": grouped, "top1": grouped["total"]}
+        ret[f"top{self.topk}"] = np.around(
+            (y_pred.T == np.tile(y_true, (self.topk, 1))).sum() * 100 / len(y_true), decimals=2
+        )
+        return ret
+
+    def eval_task(self):
+        y_pred, y_true = self._eval_cnn(self.test_loader)
+        cnn_accy = self._evaluate(y_pred, y_true)
+
+        if getattr(self, "_class_means", None) is not None:
+            y_pred, y_true = self._eval_nme(self.test_loader, self._class_means)
+            nme_accy = self._evaluate(y_pred, y_true)
+        else:
+            nme_accy = None
+
+        y_pred, y_true = self._eval_zero_shot()
+        zs = self._evaluate_zs(y_pred, y_true)
+        g = zs["grouped"]
+        return cnn_accy, nme_accy, g["old"], g["new"], g["harmonic"], g["total"]
+
+    def _eval_cnn(self, loader: ArrayLoader):
+        raise NotImplementedError
+
+    def _eval_nme(self, loader: ArrayLoader, class_means: np.ndarray):
+        vectors, y_true = self._extract_vectors(loader)
+        vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
+        dists = _sq_euclidean(jnp.asarray(class_means), jnp.asarray(vectors))  # [C, N]
+        scores = np.asarray(dists).T
+        return np.argsort(scores, axis=1)[:, : self.topk], y_true
+
+    def _zero_shot_text_features(self) -> jnp.ndarray:
+        """Template-ensembled per-class text features over ALL dataset classes
+        (reference ``models/base.py:119-134``)."""
+        class_to_label = self.data_manager._class_to_label
+        templates = self.data_manager._data_to_prompt
+        feats = []
+        for label in class_to_label:
+            texts = [t.format(label) for t in templates]
+            emb = self.encode_text_labels(texts)
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+            mean = emb.mean(axis=0)
+            feats.append(mean / jnp.linalg.norm(mean))
+        return jnp.stack(feats)
+
+    def _eval_zero_shot(self):
+        text_features = self._zero_shot_text_features()
+        total = self.data_manager.get_total_classnum()
+        ds = self.data_manager.get_dataset(np.arange(0, total), source="test", mode="test")
+        loader = self._loader(ds)
+        y_pred, y_true = [], []
+        for batch in loader:
+            img = self.encode_image(jnp.asarray(batch["image"]))
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            logits = img @ text_features.T
+            k = min(self.topk, logits.shape[1])
+            preds = jax.lax.top_k(logits, k)[1]
+            y_pred.append(np.asarray(preds))
+            y_true.append(batch["label"])
+        return np.concatenate(y_pred), np.concatenate(y_true)
+
+    # ------------------------------------------------------------------
+    # rehearsal memory (herding)
+    # ------------------------------------------------------------------
+    def build_rehearsal_memory(self, data_manager: DataManager, per_class: int) -> None:
+        if self._fixed_memory:
+            self._construct_exemplar_unified(data_manager, per_class)
+        else:
+            self._reduce_exemplar(data_manager, per_class)
+            self._construct_exemplar(data_manager, per_class)
+
+    def _class_mean_of(self, data_manager, appendent) -> np.ndarray:
+        ds = data_manager.get_dataset([], source="train", mode="test", appendent=appendent)
+        vectors, _ = self._extract_vectors(self._loader(ds, batch_size=EVAL_BATCH))
+        vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
+        mean = np.mean(vectors, axis=0)
+        return mean / np.linalg.norm(mean)
+
+    def _reduce_exemplar(self, data_manager: DataManager, m: int) -> None:
+        logging.info("Reducing exemplars...(%d per classes)", m)
+        dummy_data = self._data_memory.copy()
+        dummy_targets = self._targets_memory.copy()
+        dummy_stages = self._stages_memory.copy()
+        self._class_means = np.zeros((self._total_classes, self.feature_dim))
+        self._data_memory = np.array([])
+        self._targets_memory = np.array([])
+        self._stages_memory = np.array([])
+
+        for class_idx in range(self._known_classes):
+            mask = np.where(dummy_targets == class_idx)[0]
+            dd, dt, dstg = dummy_data[mask][:m], dummy_targets[mask][:m], dummy_stages[mask][:m]
+            self._append_memory(dd, dt, dstg)
+            self._class_means[class_idx, :] = self._class_mean_of(data_manager, (dd, dt, dstg))
+
+    def _construct_exemplar(self, data_manager: DataManager, m: int) -> None:
+        logging.info("Constructing exemplars...(%d per classes)", m)
+        for class_idx in range(self._known_classes, self._total_classes):
+            data, targets, ds = data_manager.get_dataset(
+                np.arange(class_idx, class_idx + 1), source="train", mode="test", ret_data=True
+            )
+            stages = ds.stages
+            vectors, _ = self._extract_vectors(self._loader(ds, batch_size=EVAL_BATCH))
+            vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
+            class_mean = np.mean(vectors, axis=0)
+
+            sel_idx = herding_selection(vectors, class_mean, m)
+            selected = np.asarray(data)[sel_idx]
+            sel_stages = stages[sel_idx]
+            exemplar_targets = np.full(len(sel_idx), class_idx)
+            self._append_memory(selected, exemplar_targets, sel_stages)
+            self._class_means[class_idx, :] = self._class_mean_of(
+                data_manager, (selected, exemplar_targets, sel_stages)
+            )
+
+    def _construct_exemplar_unified(self, data_manager: DataManager, m: int) -> None:
+        """Per-state herding when ``fixed_memory`` (reference ``models/base.py:345-458``)."""
+        logging.info("Constructing per-state exemplars (up to %d per class)", m)
+        if not hasattr(self, "_data_memory_by_state"):
+            self._data_memory_by_state: Dict = {}
+            self._targets_memory_by_state: Dict = {}
+        class_means = np.zeros((self._total_classes, self.feature_dim))
+
+        for class_idx in range(self._known_classes):
+            mask = np.where(self._targets_memory == class_idx)[0]
+            app = (self._data_memory[mask], self._targets_memory[mask], self._stages_memory[mask])
+            class_means[class_idx, :] = self._class_mean_of(data_manager, app)
+
+        for class_idx in range(self._known_classes, self._total_classes):
+            data, targets, ds = data_manager.get_multimodal_dataset(
+                np.arange(class_idx, class_idx + 1), source="train", mode="test", ret_data=True
+            )
+            vectors, _, state_ids = self._extract_vectors_with_states(
+                self._loader(ds, batch_size=EVAL_BATCH)
+            )
+            vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
+
+            unique_states = np.unique(state_ids)
+            samples_per_state = max(m // len(unique_states), 1)
+            self._data_memory_by_state.setdefault(class_idx, {})
+            self._targets_memory_by_state.setdefault(class_idx, {})
+
+            for state_id in unique_states:
+                smask = state_ids == state_id
+                sv, sd = vectors[smask], np.asarray(data)[smask]
+                if len(sv) <= samples_per_state:
+                    selected = sd
+                else:
+                    sel_idx = herding_selection(sv, np.mean(sv, axis=0), samples_per_state)
+                    selected = sd[sel_idx]
+                ex_targets = np.full(len(selected), class_idx)
+                ex_stages = np.full(len(selected), state_id)
+                self._data_memory_by_state[class_idx][int(state_id)] = selected
+                self._targets_memory_by_state[class_idx][int(state_id)] = ex_targets
+                self._append_memory(selected, ex_targets, ex_stages)
+
+            cmask = np.where(self._targets_memory == class_idx)[0]
+            app = (self._data_memory[cmask], self._targets_memory[cmask], self._stages_memory[cmask])
+            class_means[class_idx, :] = self._class_mean_of(data_manager, app)
+
+        self._class_means = class_means
+
+    def _append_memory(self, data, targets, stages) -> None:
+        self._data_memory = (
+            np.concatenate((self._data_memory, data)) if len(self._data_memory) else np.asarray(data)
+        )
+        self._targets_memory = (
+            np.concatenate((self._targets_memory, targets)) if len(self._targets_memory) else np.asarray(targets)
+        )
+        self._stages_memory = (
+            np.concatenate((self._stages_memory, stages)) if len(self._stages_memory) else np.asarray(stages)
+        )
+
+
+def herding_selection(vectors: np.ndarray, class_mean: np.ndarray, m: int) -> np.ndarray:
+    """iCaRL herding (reference ``models/base.py:291-311``): greedily pick the
+    sample whose inclusion keeps the running exemplar mean closest to the class
+    mean. Returns indices into the ORIGINAL ``vectors`` order."""
+    n = len(vectors)
+    m = min(m, n)
+    remaining = np.arange(n)
+    work = vectors.copy()
+    S = np.zeros_like(class_mean)
+    chosen = []
+    for k in range(1, m + 1):
+        mu_p = (work + S) / k
+        i = int(np.argmin(np.sqrt(np.sum((class_mean - mu_p) ** 2, axis=1))))
+        chosen.append(remaining[i])
+        S = S + work[i]
+        work = np.delete(work, i, axis=0)
+        remaining = np.delete(remaining, i)
+    return np.asarray(chosen)
+
+
+@jax.jit
+def _sq_euclidean(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """cdist(a, b, 'sqeuclidean') on device (reference uses scipy, ``base.py:210``)."""
+    a2 = jnp.sum(a * a, axis=1)[:, None]
+    b2 = jnp.sum(b * b, axis=1)[None, :]
+    return a2 + b2 - 2.0 * (a @ b.T)

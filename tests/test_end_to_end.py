@@ -1,0 +1,75 @@
+"""End-to-end incremental training on a tiny synthetic nested dataset with the
+tiny CLIP backbone — the integration tier of SURVEY.md §4's test pyramid."""
+
+import numpy as np
+import pytest
+
+from team_tpu.config import Config
+from team_tpu.data.manager import DataManager
+from team_tpu.trainer import train
+
+
+def tiny_cfg(model_name: str, **kw) -> Config:
+    base = dict(
+        prefix="t",
+        dataset="synthetic_insects",
+        model_name=model_name,
+        convnet_type="clip",
+        init_cls=2,
+        increment=2,
+        memory_size=12,
+        tuned_epoch=2,
+        batch_size=8,
+        init_lr=0.01,
+        optimizer="adam",
+        context_prompt_length_per_task=3,
+        seed=[1],
+        shuffle=True,
+        log_dir="/tmp/team_logs",
+        extras={"tiny_backbone": True, "dataset_kwargs": {"num_classes": 6, "img_size": 32}},
+    )
+    base.update(kw)
+    cfg = Config(**base)
+    return cfg
+
+
+def test_data_manager_task_split():
+    dm = DataManager("synthetic_insects", shuffle=True, seed=1, init_cls=2, increment=2,
+                     num_classes=6, img_size=32)
+    assert dm.nb_tasks == 3
+    assert [dm.get_task_size(t) for t in range(3)] == [2, 2, 2]
+    assert dm.get_total_classnum() == 6
+    # class order shuffle is seeded & targets remapped to 0..C-1 contiguous
+    assert sorted(np.unique(dm._train_targets)) == list(range(6))
+    ds = dm.get_multimodal_dataset(np.arange(0, 2), source="train", mode="train")
+    assert set(np.unique(ds.labels)) == {0, 1}
+    assert len(ds.stages) == len(ds.labels)
+
+
+def test_zs_clip_end_to_end():
+    res = train(tiny_cfg("zs_clip"))
+    assert len(res["cnn_top1"]) == 3
+    for acc in res["cnn_top1"]:
+        assert 0.0 <= acc <= 100.0
+
+
+def test_simplecil_end_to_end():
+    res = train(tiny_cfg("simplecil"))
+    assert len(res["cnn_top1"]) == 3
+    # prototype classifier on class-coded synthetic images should beat chance
+    assert res["cnn_top1"][-1] > 100.0 / 6
+
+
+def test_proof_end_to_end():
+    res = train(tiny_cfg("proof"))
+    assert len(res["cnn_top1"]) == 3
+    assert len(res["nme_top1"]) == 3  # herding memory ran -> NME eval exists
+    for acc in res["cnn_top1"]:
+        assert 0.0 <= acc <= 100.0
+
+
+@pytest.mark.parametrize("fixed", [True])
+def test_proof_fixed_memory_per_state(fixed):
+    cfg = tiny_cfg("proof", fixed_memory=fixed, memory_per_class=4, tuned_epoch=1)
+    res = train(cfg)
+    assert len(res["cnn_top1"]) == 3
