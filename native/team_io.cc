@@ -1,0 +1,369 @@
+// team_io: native data-loading runtime for TEAM-TPU.
+//
+// Replaces the reference's torch DataLoader worker processes + PIL/torchvision
+// C loops (reference utils/data_manager.py DataLoader(num_workers=8),
+// utils/data.py build_transform) with a threaded C++ pipeline:
+//
+//   file read -> JPEG/PNG decode -> bicubic resize to SxS -> CLIP normalize
+//
+// exposed through a C ABI for ctypes (no pybind11 in this image). One call
+// processes a whole batch with an internal thread pool; output is written into
+// a caller-provided float32 NHWC buffer ready for device upload.
+//
+// Build: see native/Makefile (links -ljpeg -lpng -lpthread).
+
+#include <atomic>
+#include <cmath>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// thread pool
+// ---------------------------------------------------------------------------
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) : stop_(false) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lk(mu_);
+            cv_.wait(lk, [this] { return stop_ || !jobs_.empty(); });
+            if (stop_ && jobs_.empty()) return;
+            job = std::move(jobs_.front());
+            jobs_.pop();
+          }
+          job();
+        }
+      });
+    }
+  }
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void Submit(std::function<void()> job) {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      jobs_.push(std::move(job));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> jobs_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_;
+};
+
+// ---------------------------------------------------------------------------
+// decoders
+// ---------------------------------------------------------------------------
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void JpegErrorExit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode JPEG bytes to RGB8. Returns false on failure.
+bool DecodeJpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
+                int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = JpegErrorExit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), size);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  out->resize(static_cast<size_t>(*width) * *height * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * *width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+struct PngReadState {
+  const uint8_t* data;
+  size_t size;
+  size_t offset;
+};
+
+void PngReadFn(png_structp png, png_bytep out, png_size_t n) {
+  auto* st = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (st->offset + n > st->size) {
+    png_error(png, "png: read past end");
+  }
+  std::memcpy(out, st->data + st->offset, n);
+  st->offset += n;
+}
+
+bool DecodePng(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
+               int* width, int* height) {
+  if (size < 8 || png_sig_cmp(data, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadState st{data, size, 0};
+  png_set_read_fn(png, &st, PngReadFn);
+  png_read_info(png, info);
+  png_set_expand(png);           // palette/gray/low-bit -> 8-bit
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+  *width = png_get_image_width(png, info);
+  *height = png_get_image_height(png, info);
+  out->resize(static_cast<size_t>(*width) * *height * 3);
+  std::vector<png_bytep> rows(*height);
+  for (int y = 0; y < *height; ++y) {
+    rows[y] = out->data() + static_cast<size_t>(y) * *width * 3;
+  }
+  png_read_image(png, rows.data());
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+bool DecodeImage(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
+                 int* width, int* height) {
+  if (size >= 2 && data[0] == 0xFF && data[1] == 0xD8) {
+    return DecodeJpeg(data, size, out, width, height);
+  }
+  if (size >= 8 && !png_sig_cmp(data, 0, 8)) {
+    return DecodePng(data, size, out, width, height);
+  }
+  // fall back to trying both
+  return DecodeJpeg(data, size, out, width, height) ||
+         DecodePng(data, size, out, width, height);
+}
+
+// ---------------------------------------------------------------------------
+// bicubic resize (Catmull-Rom a=-0.5, matching PIL's BICUBIC kernel shape)
+// ---------------------------------------------------------------------------
+inline float CubicWeight(float x) {
+  constexpr float a = -0.5f;
+  x = std::fabs(x);
+  if (x < 1.0f) return ((a + 2.0f) * x - (a + 3.0f)) * x * x + 1.0f;
+  if (x < 2.0f) return (((x - 5.0f) * x + 8.0f) * x - 4.0f) * a;
+  return 0.0f;
+}
+
+// Separable bicubic resize RGB8 (h,w) -> float RGB (oh, ow), values in [0,255].
+void ResizeBicubic(const uint8_t* src, int h, int w, float* dst, int oh, int ow) {
+  std::vector<float> tmp(static_cast<size_t>(h) * ow * 3);
+  const float sx = static_cast<float>(w) / ow;
+  const float sy = static_cast<float>(h) / oh;
+
+  // horizontal pass
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < ow; ++x) {
+      const float center = (x + 0.5f) * sx - 0.5f;
+      const int base = static_cast<int>(std::floor(center));
+      float acc[3] = {0, 0, 0};
+      float wsum = 0.0f;
+      for (int k = -1; k <= 2; ++k) {
+        int xs = base + k;
+        const float wgt = CubicWeight(center - xs);
+        if (wgt == 0.0f) continue;
+        xs = xs < 0 ? 0 : (xs >= w ? w - 1 : xs);
+        const uint8_t* p = src + (static_cast<size_t>(y) * w + xs) * 3;
+        acc[0] += wgt * p[0];
+        acc[1] += wgt * p[1];
+        acc[2] += wgt * p[2];
+        wsum += wgt;
+      }
+      float* o = tmp.data() + (static_cast<size_t>(y) * ow + x) * 3;
+      o[0] = acc[0] / wsum;
+      o[1] = acc[1] / wsum;
+      o[2] = acc[2] / wsum;
+    }
+  }
+  // vertical pass
+  for (int y = 0; y < oh; ++y) {
+    const float center = (y + 0.5f) * sy - 0.5f;
+    const int base = static_cast<int>(std::floor(center));
+    for (int x = 0; x < ow; ++x) {
+      float acc[3] = {0, 0, 0};
+      float wsum = 0.0f;
+      for (int k = -1; k <= 2; ++k) {
+        int ys = base + k;
+        const float wgt = CubicWeight(center - ys);
+        if (wgt == 0.0f) continue;
+        ys = ys < 0 ? 0 : (ys >= h ? h - 1 : ys);
+        const float* p = tmp.data() + (static_cast<size_t>(ys) * ow + x) * 3;
+        acc[0] += wgt * p[0];
+        acc[1] += wgt * p[1];
+        acc[2] += wgt * p[2];
+        wsum += wgt;
+      }
+      float* o = dst + (static_cast<size_t>(y) * ow + x) * 3;
+      o[0] = acc[0] / wsum;
+      o[1] = acc[1] / wsum;
+      o[2] = acc[2] / wsum;
+    }
+  }
+}
+
+constexpr float kClipMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
+constexpr float kClipStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
+
+// Full single-image pipeline into out (image_size*image_size*3 floats).
+bool ProcessOne(const char* path, int image_size, bool hflip, float* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const long fsize = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> bytes(fsize > 0 ? fsize : 0);
+  if (fsize > 0 && std::fread(bytes.data(), 1, fsize, f) != static_cast<size_t>(fsize)) {
+    std::fclose(f);
+    return false;
+  }
+  std::fclose(f);
+
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!DecodeImage(bytes.data(), bytes.size(), &rgb, &w, &h) || w <= 0 || h <= 0) {
+    return false;
+  }
+  std::vector<float> resized(static_cast<size_t>(image_size) * image_size * 3);
+  ResizeBicubic(rgb.data(), h, w, resized.data(), image_size, image_size);
+
+  for (int y = 0; y < image_size; ++y) {
+    for (int x = 0; x < image_size; ++x) {
+      const int sx = hflip ? (image_size - 1 - x) : x;
+      const float* p = resized.data() + (static_cast<size_t>(y) * image_size + sx) * 3;
+      float* o = out + (static_cast<size_t>(y) * image_size + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = p[c] * (1.0f / 255.0f);
+        v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);  // clamp cubic over/undershoot
+        o[c] = (v - kClipMean[c]) / kClipStd[c];
+      }
+    }
+  }
+  return true;
+}
+
+ThreadPool* g_pool = nullptr;
+int g_pool_size = 0;
+std::mutex g_pool_mu;
+
+ThreadPool* GetPool(int n_threads) {
+  std::lock_guard<std::mutex> lk(g_pool_mu);
+  if (g_pool == nullptr || g_pool_size != n_threads) {
+    delete g_pool;
+    g_pool = new ThreadPool(n_threads);
+    g_pool_size = n_threads;
+  }
+  return g_pool;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode+resize+normalize a batch of image files into `out`
+// [batch, image_size, image_size, 3] float32. `ok` (len batch) receives 1/0
+// per image. Returns the number of successfully processed images.
+int team_io_load_batch(const char** paths, int batch, int image_size,
+                       const uint8_t* hflip, int n_threads, float* out,
+                       uint8_t* ok) {
+  ThreadPool* pool = GetPool(n_threads > 0 ? n_threads : 8);
+  std::atomic<int> done{0};
+  std::atomic<int> good{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t stride = static_cast<size_t>(image_size) * image_size * 3;
+  for (int i = 0; i < batch; ++i) {
+    pool->Submit([&, i] {
+      const bool success =
+          ProcessOne(paths[i], image_size, hflip != nullptr && hflip[i], out + stride * i);
+      ok[i] = success ? 1 : 0;
+      if (success) good.fetch_add(1);
+      if (done.fetch_add(1) + 1 == batch) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == batch; });
+  return good.load();
+}
+
+// Herding exemplar selection (reference models/base.py:291-311 math):
+// greedily pick m indices minimizing ||class_mean - (v + S)/k||. vectors is
+// [n, d] row-major; selected indices written to out_idx (len m).
+void team_io_herding(const float* vectors, int n, int d, const float* class_mean,
+                     int m, int* out_idx) {
+  std::vector<uint8_t> used(n, 0);
+  std::vector<double> S(d, 0.0);
+  if (m > n) m = n;
+  for (int k = 1; k <= m; ++k) {
+    double best = 1e300;
+    int best_i = -1;
+    for (int i = 0; i < n; ++i) {
+      if (used[i]) continue;
+      const float* v = vectors + static_cast<size_t>(i) * d;
+      double dist = 0.0;
+      for (int j = 0; j < d; ++j) {
+        const double mu = (v[j] + S[j]) / k;
+        const double diff = class_mean[j] - mu;
+        dist += diff * diff;
+      }
+      if (dist < best) {
+        best = dist;
+        best_i = i;
+      }
+    }
+    used[best_i] = 1;
+    out_idx[k - 1] = best_i;
+    const float* v = vectors + static_cast<size_t>(best_i) * d;
+    for (int j = 0; j < d; ++j) S[j] += v[j];
+  }
+}
+
+}  // extern "C"

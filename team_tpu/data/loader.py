@@ -38,7 +38,7 @@ class ArrayLoader:
 
     def __init__(self, dataset: TeamDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 8, image_size: int = 224,
-                 prefetch: int = 2, drop_last: bool = False):
+                 prefetch: int = 2, drop_last: bool = False, use_native: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -48,6 +48,16 @@ class ArrayLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self._epoch = 0
+        # Native C++ decode+resize+normalize fast path (native/team_io.cc): only
+        # valid for path-backed datasets on the deterministic CLIP pipeline.
+        # Bicubic tap weights differ slightly from PIL's adaptive-support
+        # downscale filter, so it is opt-in (parity runs keep PIL).
+        self._native = False
+        if use_native and dataset.use_path and dataset.mode in ("test", "train", "flip") \
+                and (dataset.mode != "train" or dataset.deterministic_train):
+            from team_tpu.data import native_io
+
+            self._native = native_io.available()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -65,6 +75,21 @@ class ArrayLoader:
 
     def _make_batch(self, idxs: np.ndarray, pool, rng) -> Dict[str, np.ndarray]:
         items = [self.dataset.images[i] for i in idxs]
+        if self._native:
+            from team_tpu.data import native_io
+
+            flips = (np.ones(len(idxs), np.uint8) if self.dataset.mode == "flip"
+                     else np.zeros(len(idxs), np.uint8))
+            imgs, ok = native_io.load_batch([str(p) for p in items], self.image_size,
+                                            hflip=flips, n_threads=self.num_threads)
+            if ok.all():
+                return {
+                    "image": imgs,
+                    "label": self.dataset.labels[idxs].astype(np.int32),
+                    "stage_id": self.dataset.stages[idxs].astype(np.int32),
+                    "index": idxs.astype(np.int32),
+                }
+            # fall through to the PIL path on any decode failure
         rngs = [np.random.default_rng(rng.integers(0, 2 ** 31)) for _ in idxs] if rng else [None] * len(idxs)
 
         def work(args):

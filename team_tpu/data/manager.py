@@ -93,8 +93,8 @@ class DataManager:
         if shuffle:
             np.random.seed(seed)
             order = np.random.permutation(len(order)).tolist()
-        else:
-            order = self.idata.class_order or order
+        elif self.idata.class_order and len(self.idata.class_order) == num_classes:
+            order = self.idata.class_order
         self._class_order = order
         logging.info("class order: %s", self._class_order)
 

@@ -1,0 +1,102 @@
+"""ctypes bindings for the native data-loading runtime (``native/team_io.cc``).
+
+The native library provides:
+* ``load_batch``: threaded JPEG/PNG decode + bicubic resize + CLIP normalize
+  for a batch of file paths -> float32 NHWC (replaces the reference's
+  DataLoader worker processes + PIL transform chain);
+* ``herding``: C++ herding exemplar selection (reference ``models/base.py:291``
+  math) for large per-class sample counts.
+
+Auto-builds the shared library on first use if the toolchain is present;
+callers must fall back to the Python paths when :func:`available` is False.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libteam_io.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.isfile(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # toolchain missing -> python fallback
+            logging.info("native team_io build unavailable: %s", e)
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.team_io_load_batch.restype = ctypes.c_int
+        lib.team_io_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.team_io_herding.restype = None
+        lib.team_io_herding.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+    except OSError as e:
+        logging.info("native team_io load failed: %s", e)
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def load_batch(paths: Sequence[str], image_size: int = 224,
+               hflip: Optional[np.ndarray] = None, n_threads: int = 8
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode+preprocess ``paths`` -> (``[B, S, S, 3] f32``, ok mask ``[B] bool``)."""
+    lib = _load()
+    assert lib is not None, "native team_io not available"
+    b = len(paths)
+    out = np.empty((b, image_size, image_size, 3), dtype=np.float32)
+    ok = np.zeros(b, dtype=np.uint8)
+    arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    flips = np.zeros(b, dtype=np.uint8) if hflip is None else hflip.astype(np.uint8)
+    lib.team_io_load_batch(
+        arr, b, image_size,
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, ok.astype(bool)
+
+
+def herding(vectors: np.ndarray, class_mean: np.ndarray, m: int) -> np.ndarray:
+    """Native herding selection; same result as the numpy implementation."""
+    lib = _load()
+    assert lib is not None, "native team_io not available"
+    vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    class_mean = np.ascontiguousarray(class_mean, dtype=np.float32)
+    n, d = vectors.shape
+    m = min(m, n)
+    out = np.zeros(m, dtype=np.int32)
+    lib.team_io_herding(
+        vectors.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d,
+        class_mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+    )
+    return out.astype(np.int64)

@@ -99,7 +99,10 @@ def merge_gcn_distances(dist: jax.Array, gcn_dist: jax.Array, valid: jax.Array, 
     return out
 
 
-@jax.jit
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_states",))
 def ema_update(dist: jax.Array, state_features: jax.Array, state_ids: jax.Array,
                decay: float, num_states: int = 10) -> jax.Array:
     """Vectorized batch-centroid EMA (reference ``state_distance.py:95-137``):

@@ -1,0 +1,136 @@
+"""Data pipeline tests: transforms, loader, native IO runtime, device preprocess."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from team_tpu.data.datasets import SyntheticInsects, load_nested_dataset
+from team_tpu.data.loader import ArrayLoader
+from team_tpu.data.manager import DataManager, TeamDataset
+from team_tpu.data.transforms import CLIP_MEAN, CLIP_STD, clip_transform, flip_transform
+
+
+def test_clip_transform_deterministic(rng):
+    img = Image.fromarray(rng.integers(0, 255, (100, 80, 3), dtype=np.uint8))
+    a = clip_transform(img, 32)
+    b = clip_transform(img, 32)
+    assert a.shape == (32, 32, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_flip_transform_mirrors(rng):
+    img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    a = clip_transform(img, 32)
+    f = flip_transform(img, 32)
+    np.testing.assert_allclose(a, f[:, ::-1, :], atol=1e-6)
+
+
+def test_loader_batches_and_reshuffles(rng):
+    ds_src = SyntheticInsects(num_classes=3, img_size=16, train_per_stage=5)
+    ds_src.download_data()
+    ds = TeamDataset(ds_src.train_data, ds_src.train_targets, ds_src.train_stages,
+                     "test", use_path=False)
+    loader = ArrayLoader(ds, batch_size=8, shuffle=True, seed=0, image_size=16, prefetch=0)
+    b1 = list(loader)
+    b2 = list(loader)
+    assert sum(len(b["label"]) for b in b1) == len(ds)
+    assert b1[0]["image"].shape[1:] == (16, 16, 3)
+    # reshuffled across epochs
+    assert not np.array_equal(
+        np.concatenate([b["index"] for b in b1]),
+        np.concatenate([b["index"] for b in b2]),
+    )
+
+
+def _write_nested_dataset(tmp_path, rng, n_classes=2, stages=(1, 4), per_stage=3):
+    for split in ("train", "test"):
+        for c in range(n_classes):
+            for s in stages:
+                d = os.path.join(tmp_path, split, f"species_{c}", str(s))
+                os.makedirs(d, exist_ok=True)
+                for i in range(per_stage):
+                    arr = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+                    Image.fromarray(arr).save(os.path.join(d, f"img_{i}.jpg"))
+    return tmp_path
+
+
+def test_load_nested_dataset_layout(tmp_path, rng):
+    root = _write_nested_dataset(str(tmp_path), rng)
+    imgs, targets, cmap, stages = load_nested_dataset(os.path.join(root, "train"))
+    assert len(imgs) == 2 * 2 * 3
+    assert set(cmap.values()) == {0, 1}
+    assert set(np.unique(stages)) == {1, 4}
+
+
+def test_iiminsects_manager_from_disk(tmp_path, rng):
+    root = _write_nested_dataset(str(tmp_path), rng)
+    dm = DataManager("iiminsects202", shuffle=False, seed=0, init_cls=1, increment=1,
+                     data_root=root)
+    assert dm.nb_tasks == 2
+    ds = dm.get_multimodal_dataset(np.arange(0, 1), source="train", mode="train")
+    loader = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert set(np.unique(batch["stage_id"])).issubset({1, 4})
+    # memory appendent without stage info recovers stages via path lookup
+    app_paths = ds.images[:2]
+    ds2 = dm.get_multimodal_dataset([], source="train", mode="test",
+                                    appendent=(app_paths, ds.labels[:2]))
+    np.testing.assert_array_equal(ds2.stages, ds.stages[:2])
+
+
+def test_native_io_matches_pil_closely(tmp_path, rng):
+    from team_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native team_io not built")
+    p = os.path.join(str(tmp_path), "img.png")
+    arr = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p)  # png: lossless, isolates resize differences
+    out, ok = native_io.load_batch([p], image_size=224)
+    assert ok.all()
+    ref = clip_transform(Image.fromarray(arr), 224)
+    # same-size path has no resampling; should agree to float precision
+    np.testing.assert_allclose(out[0], ref, atol=1e-4)
+
+
+def test_native_io_jpeg_resize(tmp_path, rng):
+    from team_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native team_io not built")
+    p = os.path.join(str(tmp_path), "img.jpg")
+    arr = rng.integers(0, 255, (96, 128, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p, quality=95)
+    out, ok = native_io.load_batch([p, p], image_size=64, n_threads=2)
+    assert ok.all() and out.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(out[0], out[1])
+    assert np.isfinite(out).all()
+
+
+def test_native_herding_matches_numpy(rng):
+    from team_tpu.data import native_io
+    from team_tpu.learners.base import herding_selection
+
+    if not native_io.available():
+        pytest.skip("native team_io not built")
+    vectors = rng.standard_normal((40, 16)).astype(np.float32)
+    mean = vectors.mean(axis=0)
+    ref = herding_selection(vectors, mean, 10)
+    nat = native_io.herding(vectors, mean, 10)
+    np.testing.assert_array_equal(ref, nat)
+
+
+def test_device_preprocess_matches_host(rng):
+    import jax.numpy as jnp
+
+    from team_tpu.ops.preprocess import normalize_uint8_kernel, preprocess_batch
+
+    u8 = rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    out = np.asarray(preprocess_batch(jnp.asarray(u8), image_size=16))
+    ref = (u8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+    out2 = np.asarray(normalize_uint8_kernel(jnp.asarray(u8), interpret=True))
+    np.testing.assert_allclose(out2, ref, atol=1e-5)

@@ -1,0 +1,83 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from team_tpu.losses.clip_loss import clip_loss
+from team_tpu.parallel.mesh import MeshContext, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    return make_mesh((8,), ("data",))
+
+
+def test_mesh_context_shard_batch(mesh):
+    ctx = MeshContext(mesh)
+    batch = {"x": np.arange(20, dtype=np.float32).reshape(20, 1)}
+    sharded, valid = ctx.shard_batch(batch)
+    assert valid == 20
+    assert sharded["x"].shape[0] == 24  # padded to multiple of 8
+
+
+def test_global_clip_loss_matches_single_device(mesh):
+    """Sharded global-batch CLIP loss == single-device loss on the full batch.
+    This is the working version of the reference's broken gather_features path
+    (utils/toolkit.py:111-126)."""
+    rng = np.random.default_rng(0)
+    n, d = 16, 8
+    img = rng.standard_normal((n, d)).astype(np.float32)
+    txt = rng.standard_normal((n, d)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    scale = jnp.asarray(14.0)
+
+    ref = float(clip_loss(jnp.asarray(img), jnp.asarray(txt), scale))
+
+    batch_sh = NamedSharding(mesh, P("data"))
+    img_s = jax.device_put(jnp.asarray(img), batch_sh)
+    txt_s = jax.device_put(jnp.asarray(txt), batch_sh)
+    with mesh:
+        # pjit path: write global math; the SPMD partitioner inserts collectives
+        f = jax.jit(lambda a, b: clip_loss(a, b, scale))
+        out = float(f(img_s, txt_s))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_clip_loss_shard_map_all_gather(mesh):
+    """Explicit all_gather variant (axis_name path) under shard_map."""
+    from jax import shard_map
+
+    rng = np.random.default_rng(1)
+    n, d = 16, 8
+    img = rng.standard_normal((n, d)).astype(np.float32)
+    txt = rng.standard_normal((n, d)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    scale = jnp.asarray(10.0)
+
+    ref = float(clip_loss(jnp.asarray(img), jnp.asarray(txt), scale))
+
+    def local_fn(a, b):
+        return clip_loss(a, b, scale, axis_name="data")[None]
+
+    f = shard_map(local_fn, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"))
+    out = np.asarray(f(jnp.asarray(img), jnp.asarray(txt)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+    # local_loss variant agrees too
+    def local_fn2(a, b):
+        return clip_loss(a, b, scale, axis_name="data", local_loss=True)[None]
+
+    f2 = shard_map(local_fn2, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data"))
+    out2 = np.mean(np.asarray(f2(jnp.asarray(img), jnp.asarray(txt))))
+    np.testing.assert_allclose(out2, ref, rtol=1e-5)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
