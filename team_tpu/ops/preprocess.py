@@ -46,11 +46,12 @@ def preprocess_batch(images_u8: jax.Array, image_size: int = 224, flip: bool = F
 
 
 def _normalize_kernel(x_ref, o_ref):
-    # channel constants baked in as python tuples (no captured tracers)
-    mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32)
-    std = jnp.asarray(CLIP_STD, dtype=jnp.float32)
+    # channel constants inlined as python scalars (pallas rejects captured arrays)
     x = x_ref[...].astype(jnp.float32) * (1.0 / 255.0)
-    o_ref[...] = (x - mean) * (1.0 / std)
+    chans = [
+        (x[..., c] - CLIP_MEAN[c]) * (1.0 / CLIP_STD[c]) for c in range(3)
+    ]
+    o_ref[...] = jnp.stack(chans, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
