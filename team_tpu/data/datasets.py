@@ -174,6 +174,30 @@ class iCIFAR224(iData):
         self._data_loaded = True
 
 
+class LaionData:
+    """Image+caption pair dataset from a ``path caption_file`` text list
+    (reference ``utils/data_manager.py:366-389``, imported by learners but never
+    used there; provided for the contrastive-pretraining capability surface).
+
+    ``__getitem__`` returns ``(image_path, caption_string)``; decoding and the
+    CLIP preprocess happen in the loader / native IO runtime.
+    """
+
+    def __init__(self, txt_path: str):
+        with open(txt_path, "r", encoding="utf-8") as f:
+            lines = [ln for ln in f.read().splitlines() if ln.strip()]
+        self.img_list = [ln.split()[0] for ln in lines]
+        self.txt_list = [ln.split()[1] for ln in lines]
+
+    def __len__(self) -> int:
+        return len(self.img_list)
+
+    def __getitem__(self, index: int):
+        with open(self.txt_list[index], "r", encoding="utf-8") as f:
+            caption = f.read().strip()
+        return self.img_list[index], caption
+
+
 _REGISTRY = {}
 
 

@@ -70,6 +70,26 @@ def count_parameters(params: Any, trainable_mask: Any = None) -> int:
     return total
 
 
+def tensor2numpy(x) -> np.ndarray:
+    """Any array-ish (jax/numpy/list) -> numpy (reference ``utils/toolkit.py:13-18``)."""
+    return np.asarray(x)
+
+
+def target2onehot(targets, n_classes: int) -> np.ndarray:
+    """Int targets -> one-hot matrix (reference ``utils/toolkit.py:21-24``)."""
+    targets = np.asarray(targets)
+    onehot = np.zeros((targets.shape[0], n_classes), dtype=np.float32)
+    onehot[np.arange(targets.shape[0]), targets.astype(int)] = 1.0
+    return onehot
+
+
+def split_images_labels(imgs):
+    """Split an ImageFolder-style (path, label) list (reference ``:56-64``)."""
+    images = [item[0] for item in imgs]
+    labels = [item[1] for item in imgs]
+    return np.array(images), np.array(labels)
+
+
 def set_random(seed: int = 1) -> None:
     """Seed host-side RNGs (reference ``trainer.py:156-162``). Device randomness in
     JAX is explicit via PRNG keys, so this only covers numpy/python host code."""
