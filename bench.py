@@ -15,6 +15,8 @@ from __future__ import annotations
 import json
 import time
 
+from team_tpu.utils.jax_cache import enable as _enable_xla_cache
+_enable_xla_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,6 +16,8 @@ import logging
 import time
 from typing import Dict, List
 
+from team_tpu.utils.jax_cache import enable as _enable_xla_cache
+_enable_xla_cache()
 from team_tpu.config import Config
 from team_tpu.data.manager import DataManager
 from team_tpu.learners.factory import get_model

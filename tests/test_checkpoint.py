@@ -1,0 +1,44 @@
+"""Checkpoint/resume integration: train 2 tasks, kill, resume, finish — curves
+and learner state must carry across processes (a capability the reference
+lacks entirely, SURVEY.md §5)."""
+
+import os
+
+import numpy as np
+
+from team_tpu.config import Config
+from team_tpu.trainer import train
+
+
+def _cfg(tmp, resume=False):
+    return Config(
+        prefix="ck", dataset="synthetic_insects", model_name="proof",
+        convnet_type="clip", init_cls=2, increment=2, memory_size=12,
+        tuned_epoch=1, batch_size=8, init_lr=0.01, optimizer="adam",
+        context_prompt_length_per_task=3, seed=[3], shuffle=True,
+        log_dir=os.path.join(tmp, "logs"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"), resume=resume,
+        extras={"tiny_backbone": True, "dataset_kwargs": {"num_classes": 6, "img_size": 32}},
+    )
+
+
+def test_checkpoint_save_and_resume(tmp_path):
+    tmp = str(tmp_path)
+    res_full = train(_cfg(tmp))
+    assert len(res_full["cnn_top1"]) == 3
+
+    # resume run starts from the last saved task: nothing left to train,
+    # curves restored intact
+    res_resumed = train(_cfg(tmp, resume=True))
+    np.testing.assert_allclose(res_resumed["cnn_top1"], res_full["cnn_top1"])
+
+    # partial resume: wipe the later checkpoints, keep task 0, retrain rest
+    import shutil
+
+    for t in (1, 2):
+        p = os.path.join(tmp, "ckpt", f"task_{t}")
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    res_partial = train(_cfg(tmp, resume=True))
+    assert len(res_partial["cnn_top1"]) == 3
+    np.testing.assert_allclose(res_partial["cnn_top1"][0], res_full["cnn_top1"][0])
