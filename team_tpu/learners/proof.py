@@ -111,6 +111,17 @@ class Learner(BaseLearner):
             self.buffers = init_buffers(self.dims)
         self._tx = make_optimizer(self.cfg)
         self._train_step = build_train_step(self.cfg, self.dims, self._tx)
+        # optional data-parallel mesh: batch sharded over ICI, params replicated;
+        # the SPMD partitioner turns the CLIP loss into a global-batch loss with
+        # all-gathers (replaces reference nn.DataParallel, proof.py:312-313)
+        self._mesh_ctx = None
+        if self.cfg.mesh_shape:
+            from team_tpu.parallel.mesh import MeshContext, make_mesh
+
+            mesh = make_mesh(tuple(self.cfg.mesh_shape), tuple(self.cfg.mesh_axis_names))
+            self._mesh_ctx = MeshContext(mesh, self.cfg.mesh_axis_names[0])
+            self.trainable = self._mesh_ctx.replicate(self.trainable)
+            self.buffers = ProofBuffers(*self._mesh_ctx.replicate(tuple(self.buffers)))
 
     def _make_ctx(self) -> TaskContext:
         t = np.zeros(self.dims.max_tasks, np.float32)
@@ -237,11 +248,25 @@ class Learner(BaseLearner):
             epoch_arr = jnp.asarray(epoch)
             for start in range(0, n, self.batch_size):
                 idx = order[start : start + self.batch_size]
-                batch = {
-                    "feat": jnp.asarray(feats[idx]),
-                    "label": jnp.asarray(labels[idx].astype(np.int32)),
-                    "stage_id": jnp.asarray(stages[idx].astype(np.int32)),
-                }
+                if self._mesh_ctx is not None:
+                    # data-parallel mode: shard over the data axis (trim any
+                    # non-divisible remainder, standard DP practice)
+                    rem = len(idx) % self._mesh_ctx.n_data
+                    if rem:
+                        idx = idx[: len(idx) - rem]
+                    if len(idx) == 0:
+                        continue
+                    batch, _ = self._mesh_ctx.shard_batch({
+                        "feat": feats[idx],
+                        "label": labels[idx].astype(np.int32),
+                        "stage_id": stages[idx].astype(np.int32),
+                    })
+                else:
+                    batch = {
+                        "feat": jnp.asarray(feats[idx]),
+                        "label": jnp.asarray(labels[idx].astype(np.int32)),
+                        "stage_id": jnp.asarray(stages[idx].astype(np.int32)),
+                    }
                 step_rng, self._rng = _split(self._rng)
                 self.trainable, opt_state, stats = self._train_step(
                     self.trainable, opt_state, batch, self.ctx, self.buffers,

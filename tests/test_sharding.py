@@ -81,3 +81,22 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_proof_learner_trains_on_mesh():
+    """Full PROOF learner over the 8-device data mesh (one tiny task)."""
+    from team_tpu.config import Config
+    from team_tpu.trainer import train
+
+    cfg = Config(
+        prefix="mesh", dataset="synthetic_insects", model_name="proof",
+        convnet_type="clip", init_cls=3, increment=3, memory_size=12,
+        tuned_epoch=1, batch_size=16, init_lr=0.01, optimizer="adam",
+        context_prompt_length_per_task=2, seed=[5], shuffle=True,
+        log_dir="/tmp/team_logs_mesh", mesh_shape=[8],
+        extras={"tiny_backbone": True, "dataset_kwargs": {"num_classes": 6, "img_size": 32}},
+    )
+    res = train(cfg)
+    assert len(res["cnn_top1"]) == 2
+    for acc in res["cnn_top1"]:
+        assert 0.0 <= acc <= 100.0
