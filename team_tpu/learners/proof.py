@@ -388,6 +388,24 @@ class Learner(BaseLearner):
         return float(np.around(correct * 100 / len(labels), decimals=2))
 
     def _eval_cnn(self, loader):
+        # reuse the cached frozen-backbone test features when the loader is the
+        # task's unshuffled test loader (exact: same dataset, same order)
+        if loader is self.test_loader and getattr(self, "_test_feats", None) is not None:
+            feats, labels, _ = self._test_feats
+            y_pred = []
+            for start in range(0, len(labels), EVAL_BATCH):
+                logits = eval_logits(
+                    self.trainable, jnp.asarray(feats[start : start + EVAL_BATCH]), self.ctx
+                )
+                k = min(self.topk, self._total_classes)
+                preds = np.asarray(jax.lax.top_k(logits, k)[1])
+                if k < self.topk:
+                    preds = np.concatenate(
+                        [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)],
+                        axis=1,
+                    )
+                y_pred.append(preds)
+            return np.concatenate(y_pred), labels
         y_pred, y_true = [], []
         for batch in loader:
             basic = self.backbone.encode_image(jnp.asarray(batch["image"]))
