@@ -174,6 +174,77 @@ class iCIFAR224(iData):
         self._data_loaded = True
 
 
+class ImageFolderDataset(iData):
+    """Generic ``root/{train,test}/class_x/*.jpg`` dataset covering the
+    reference's ImageFolder-backed registry entries (imagenet-r/a, cub,
+    objectnet, food101, flowers, aircraft, ucf101, cars, sun, omnibenchmark,
+    vtab, caltech101 — reference ``utils/data.py:104-470``). Stage ids default
+    to adult (4), matching the reference multimodal fallback."""
+
+    use_path = True
+
+    def __init__(self, data_root: Optional[str] = None, name: str = "imagefolder",
+                 deterministic_train: bool = True, train_dir: str = "train",
+                 test_dir: str = "test"):
+        self.name = name
+        self.data_root = data_root or os.environ.get("TEAM_DATA_ROOT", f"./data/{name}")
+        self.deterministic_train = deterministic_train
+        self.train_dir = train_dir
+        self.test_dir = test_dir
+
+    @staticmethod
+    def _walk(split_dir: str, class_map: Dict[str, int]):
+        images, targets = [], []
+        for class_folder in sorted(os.listdir(split_dir)):
+            class_path = os.path.join(split_dir, class_folder)
+            if not os.path.isdir(class_path) or class_folder.startswith("."):
+                continue
+            if class_folder not in class_map:
+                class_map[class_folder] = len(class_map)
+            label = class_map[class_folder]
+            for ext in ("*.jpg", "*.jpeg", "*.png", "*.bmp", "*.JPEG"):
+                for p in sorted(glob.glob(os.path.join(class_path, ext))):
+                    images.append(p)
+                    targets.append(label)
+        return images, np.asarray(targets)
+
+    def download_data(self):
+        if self._data_loaded:
+            return
+        class_map: Dict[str, int] = {}
+        self.train_data, self.train_targets = self._walk(
+            os.path.join(self.data_root, self.train_dir), class_map)
+        self.test_data, self.test_targets = self._walk(
+            os.path.join(self.data_root, self.test_dir), class_map)
+        self.train_stages = np.full(len(self.train_targets), 4)
+        self.test_stages = np.full(len(self.test_targets), 4)
+        self.class_map = class_map
+        self.class_order = list(range(len(class_map)))
+        self._data_loaded = True
+        logging.info("%s: %d train / %d test, %d classes", self.name,
+                     len(self.train_data), len(self.test_data), len(class_map))
+
+
+# reference registry names served by the generic folder dataset
+# (reference utils/data.py:104-470 — per-name transform variants collapse onto
+# the deterministic CLIP pipeline or the ViT random-crop pipeline)
+_FOLDER_DATASETS = {
+    "imagenetr": dict(deterministic_train=False),
+    "imageneta": dict(deterministic_train=False),
+    "cub": dict(deterministic_train=False),
+    "objectnet": dict(deterministic_train=False),
+    "omnibenchmark": dict(deterministic_train=False),
+    "vtab": dict(deterministic_train=False),
+    "caltech101": dict(deterministic_train=True),
+    "food101": dict(deterministic_train=True),
+    "flowers": dict(deterministic_train=True),
+    "aircraft": dict(deterministic_train=True),
+    "ucf101": dict(deterministic_train=True),
+    "cars": dict(deterministic_train=True),
+    "sun": dict(deterministic_train=True),
+}
+
+
 class LaionData:
     """Image+caption pair dataset from a ``path caption_file`` text list
     (reference ``utils/data_manager.py:366-389``, imported by learners but never
@@ -214,6 +285,10 @@ def get_idata(name: str, data_root: Optional[str] = None, **kwargs) -> iData:
         ds = SyntheticInsects(**kwargs)
     elif n == "cifar224":
         ds = iCIFAR224(data_root)
+    elif n in _FOLDER_DATASETS:
+        ds = ImageFolderDataset(data_root, name=n, **_FOLDER_DATASETS[n])
+    elif n == "imagefolder":
+        ds = ImageFolderDataset(data_root, **kwargs)
     else:
         raise NotImplementedError(f"Unknown dataset {name}.")
     _REGISTRY[key] = ds

@@ -134,3 +134,21 @@ def test_device_preprocess_matches_host(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
     out2 = np.asarray(normalize_uint8_kernel(jnp.asarray(u8), interpret=True))
     np.testing.assert_allclose(out2, ref, atol=1e-5)
+
+
+def test_imagefolder_dataset(tmp_path, rng):
+    import os as _os
+    for split in ("train", "test"):
+        for c in ("cat", "dog"):
+            d = _os.path.join(str(tmp_path), split, c)
+            _os.makedirs(d, exist_ok=True)
+            for i in range(2):
+                arr = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(_os.path.join(d, f"{i}.jpg"))
+    dm = DataManager("cub", shuffle=False, seed=0, init_cls=1, increment=1,
+                     data_root=str(tmp_path))
+    assert dm.nb_tasks == 2
+    ds = dm.get_dataset(np.arange(0, 2), source="train", mode="train")
+    assert len(ds) == 4
+    assert (ds.stages == 4).all()  # default-adult for non-insect datasets
+    assert not ds.deterministic_train  # cub uses the random-crop train pipeline
