@@ -84,11 +84,11 @@ class Learner(BaseLearner):
     def encode_image(self, images):
         """Projection-summed image features (reference Proof_Net.encode_image)."""
         basic = self.backbone.encode_image(images)
-        return project_image(self.trainable, basic, self.ctx, grad_current_only=False)
+        return _project_image_jit(self.trainable, basic, self.ctx)
 
     def encode_text_labels(self, texts):
         basic = self.backbone.encode_texts(texts)
-        return project_text(self.trainable, basic, self.ctx, grad_current_only=False)
+        return _project_text_jit(self.trainable, basic, self.ctx)
 
     # ------------------------------------------------------------------
     def _ensure_initialized(self, data_manager) -> None:
@@ -241,7 +241,11 @@ class Learner(BaseLearner):
         self.integrate_with_state_distance()
 
         for epoch in range(self.tuned_epoch):
-            opt_state.hyperparams["learning_rate"] = cosine_lr(cfg, epoch)
+            # per-epoch cosine LR (scheduler stepped per epoch, proof.py:363,452);
+            # keep the dtype stable so the jitted step never retraces
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                cosine_lr(cfg, epoch), dtype=jnp.float32
+            )
             order = shuffle_rng.permutation(n)
             losses = unicl_losses = 0.0
             correct = total = 0
@@ -424,3 +428,13 @@ class Learner(BaseLearner):
 def _split(key):
     k1, k2 = jax.random.split(key)
     return k1, k2
+
+
+@jax.jit
+def _project_image_jit(tr, basic, ctx):
+    return project_image(tr, basic, ctx, grad_current_only=False)
+
+
+@jax.jit
+def _project_text_jit(tr, basic, ctx):
+    return project_text(tr, basic, ctx, grad_current_only=False)
