@@ -26,38 +26,33 @@ from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
 BASELINE_TARGET = 10_000.0  # images/sec/chip (BASELINE.json north star)
 
 
-def bench_image_encode(batch_size: int = 256, iters: int = 20, warmup: int = 3,
+def bench_image_encode(batch_size: int = 256, iters: int = 20, repeats: int = 3,
                        compute_dtype=jnp.bfloat16, attn_impl: str = "auto") -> float:
+    """Times ``iters`` encodes inside ONE jitted ``lax.scan`` so per-dispatch
+    tunnel latency (the axon proxy adds ~100ms+ per call) does not pollute the
+    device-throughput number. Each iteration is chained on the previous output
+    so no runtime layer can dedupe repeated executions; completion is fenced by
+    a host fetch (the tunnel does not honor ``block_until_ready``)."""
     cfg = CLIPConfig.vit_b16()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x), params)
 
-    fn = jax.jit(lambda p, x: encode_image(p, x, cfg, compute_dtype=compute_dtype,
-                                           attn_impl=attn_impl))
+    def body(x, _):
+        feats = encode_image(params, x, cfg, compute_dtype=compute_dtype,
+                             attn_impl=attn_impl)
+        return x + jnp.mean(feats) * 1e-6, jnp.sum(feats)
+
+    run = jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[1])
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch_size, 224, 224, 3)).astype(np.float32))
 
-    # chain each iteration on the previous output so no proxy/runtime layer can
-    # dedupe repeated identical executions
-    def chained(p, x, it):
-        feats = fn(p, x)
-        perturb = jnp.mean(feats) * 1e-6 + it * 1e-9
-        return x + perturb, feats
-
-    def sync(t):
-        # the axon tunnel does not honor block_until_ready; a host fetch of the
-        # result is the only reliable completion barrier
-        return float(jnp.sum(t))
-
-    for i in range(warmup):
-        x, out = chained(params, x, i)
-    sync(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        x, out = chained(params, x, i)
-    sync(out)
-    dt = time.perf_counter() - t0
-    return batch_size * iters / dt
+    float(jnp.sum(run(x)))  # compile + warmup (host fetch = completion fence)
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(run(x)))
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * iters / dt)
+    return best
 
 
 def main() -> None:

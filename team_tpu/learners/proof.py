@@ -17,7 +17,7 @@ double ``evolve_and_update`` per epoch via ``update_state_distance_matrix``,
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,6 @@ from team_tpu.learners.proof_net import (
     TaskContext,
     build_train_step,
     cosine_lr,
-    encode_prototypes,
     eval_logits,
     init_buffers,
     init_proof_params,

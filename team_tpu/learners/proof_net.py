@@ -24,7 +24,6 @@ PROOF training loop (``models/proof.py:348-517``), redesigned TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

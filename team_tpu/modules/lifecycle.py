@@ -20,13 +20,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from team_tpu.modules.evolution import (
-    ADULT_ONLY,
-    LARVA_TO_ADULT,
-    NYMPH_TO_ADULT,
-    UNKNOWN,
-    detect_lifecycle_types,
-)
+from team_tpu.modules.evolution import LARVA_TO_ADULT, NYMPH_TO_ADULT
 
 
 def _linear(key, d_in, d_out):

@@ -10,9 +10,6 @@ here one kernel serves all of them.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
