@@ -95,3 +95,26 @@ def test_xla_attention_matches_naive():
     out = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), s, causal=True)
     ref = _naive_attention(q, k, v, causal=True, kv_len=s)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_bpe_tokenizer_with_synthetic_merges(tmp_path):
+    """Exercise the real BPE path with a tiny synthetic merge table."""
+    import gzip
+
+    from team_tpu.backbone.tokenizer import BPETokenizer
+
+    merges = ["#version: 0.2", "t h", "th e</w>", "a n", "an d</w>"]
+    p = tmp_path / "bpe.txt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges) + "\n")
+    tok = BPETokenizer(str(p))
+    ids = tok.encode("the and band")
+    # 'the' -> single merged token, 'and' -> single merged token
+    the_id = tok.encoder["the</w>"]
+    and_id = tok.encoder["and</w>"]
+    assert the_id in ids and and_id in ids
+    out = tok(["the and"])
+    assert out.shape == (1, 77)
+    assert out[0, 0] == tok.encoder["<|startoftext|>"]
+    assert tok.encoder["<|endoftext|>"] in out[0]
+    np.testing.assert_array_equal(out, tok(["the and"]))
