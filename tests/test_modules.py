@@ -266,3 +266,30 @@ def test_sync_class_prototypes_adult_weighting(rng):
     expected /= np.linalg.norm(expected)
     np.testing.assert_allclose(out[0], expected, atol=1e-5)
     np.testing.assert_allclose(out[1], img[1])  # class without states keeps old proto
+
+
+def test_analysis_plots_render(tmp_path, rng):
+    """Plot artifacts render headlessly (distance heatmap, t-SNE atlas, paths)."""
+    from team_tpu.analysis.plots import (
+        analyze_state_evolution, visualize_distance_matrix, visualize_evolution_path,
+    )
+    from team_tpu.learners.proof_net import ProofDims, init_buffers
+
+    sd = StateDistanceMatrix()
+    p1 = str(tmp_path / "dist.png")
+    visualize_distance_matrix(sd, p1)
+    import os
+    assert os.path.isfile(p1)
+
+    dims = ProofDims(feature_dim=8, max_classes=4, max_tasks=2)
+    buf = init_buffers(dims)
+    protos = rng.standard_normal((4, 10, 8)).astype(np.float32)
+    mask = np.zeros((4, 10), np.float32)
+    mask[0, [1, 4]] = 1
+    mask[1, [3, 4]] = 1
+    mask[2, [1, 4]] = 1
+    buf = buf._replace(proto_state=jnp.asarray(protos), proto_mask=jnp.asarray(mask))
+    out = analyze_state_evolution(buf, [f"c{i}" for i in range(4)], save_dir=str(tmp_path))
+    assert out and os.path.isfile(out)
+    visualize_evolution_path(buf, save_dir=str(tmp_path / "evo"))
+    assert os.path.isfile(str(tmp_path / "evo" / "class_0_evolution.png"))
