@@ -26,30 +26,28 @@ from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
 BASELINE_TARGET = 10_000.0  # images/sec/chip (BASELINE.json north star)
 
 
-def bench_image_encode(batch_size: int = 256, iters: int = 20, repeats: int = 3,
+def bench_image_encode(batch_size: int = 256, iters: int = 16, repeats: int = 3,
                        compute_dtype=jnp.bfloat16, attn_impl: str = "auto") -> float:
-    """Times ``iters`` encodes inside ONE jitted ``lax.scan`` so per-dispatch
-    tunnel latency (the axon proxy adds ~100ms+ per call) does not pollute the
-    device-throughput number. Each iteration is chained on the previous output
-    so no runtime layer can dedupe repeated executions; completion is fenced by
-    a host fetch (the tunnel does not honor ``block_until_ready``)."""
+    """Dispatches ``iters`` encodes on independent pre-uploaded inputs and
+    fences once at the end with a host fetch (the axon tunnel does not honor
+    ``block_until_ready``; independent inputs also defeat any result caching a
+    proxy layer might do). ``attn_impl='auto'`` resolves to XLA fused attention
+    at CLIP's 197-token sequence — measured faster than the flash kernel there."""
     cfg = CLIPConfig.vit_b16()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
 
-    def body(x, _):
-        feats = encode_image(params, x, cfg, compute_dtype=compute_dtype,
-                             attn_impl=attn_impl)
-        return x + jnp.mean(feats) * 1e-6, jnp.sum(feats)
+    fn = jax.jit(lambda p, x: encode_image(p, x, cfg, compute_dtype=compute_dtype,
+                                           attn_impl=attn_impl))
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.standard_normal((batch_size, 224, 224, 3)).astype(np.float32))
+          for _ in range(iters)]
 
-    run = jax.jit(lambda x: jax.lax.scan(body, x, None, length=iters)[1])
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (batch_size, 224, 224, 3)).astype(np.float32))
-
-    float(jnp.sum(run(x)))  # compile + warmup (host fetch = completion fence)
+    float(jnp.sum(fn(params, xs[0])))  # compile + warmup
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(jnp.sum(run(x)))
+        outs = [fn(params, x) for x in xs]
+        float(jnp.sum(outs[-1])) + float(jnp.sum(outs[0]))
         dt = time.perf_counter() - t0
         best = max(best, batch_size * iters / dt)
     return best

@@ -54,10 +54,14 @@ def multi_head_attention(
     """Scaled-dot-product attention over ``[B, H, S, Dh]``.
 
     ``impl``: 'pallas' forces the flash kernel, 'xla' the einsum path, 'auto'
-    selects pallas on TPU backends and xla otherwise (CPU tests, interpreters).
+    picks per sequence length: measured on v5e, XLA's fused attention wins for
+    the short CLIP sequences (197 image / 77 text tokens — the flash kernel's
+    per-(batch·head) grid is too fine there), while the flash kernel's O(1)
+    memory tiling pays off from ~512 tokens up (long prompt ensembles).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        impl = "pallas" if (on_tpu and q.shape[2] >= 512) else "xla"
     if impl == "pallas":
         return flash_attention(q, k, v, kv_len, causal=causal)
     return _xla_attention(q, k, v, kv_len, causal=causal)
