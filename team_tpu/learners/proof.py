@@ -30,8 +30,10 @@ from team_tpu.learners.proof_net import (
     ProofBuffers,
     ProofDims,
     TaskContext,
+    build_epoch_runner,
     build_train_step,
     cosine_lr,
+    eval_correct_scan,
     eval_logits,
     init_buffers,
     init_proof_params,
@@ -110,6 +112,7 @@ class Learner(BaseLearner):
             self.buffers = init_buffers(self.dims)
         self._tx = make_optimizer(self.cfg)
         self._train_step = build_train_step(self.cfg, self.dims, self._tx)
+        self._epoch_runner = build_epoch_runner(self.cfg, self.dims, self._tx)
         # optional data-parallel mesh: batch sharded over ICI, params replicated;
         # the SPMD partitioner turns the CLIP loss into a global-batch loss with
         # all-gathers (replaces reference nn.DataParallel, proof.py:312-313)
@@ -249,7 +252,30 @@ class Learner(BaseLearner):
             losses = unicl_losses = 0.0
             correct = total = 0
             epoch_arr = jnp.asarray(epoch)
-            for start in range(0, n, self.batch_size):
+
+            k = n // self.batch_size  # full batches -> one scanned dispatch
+            if self._mesh_ctx is None and k > 0:
+                bidx = order[: k * self.batch_size].reshape(k, self.batch_size)
+                batches = {
+                    "feat": jnp.asarray(feats[bidx]),
+                    "label": jnp.asarray(labels[bidx].astype(np.int32)),
+                    "stage_id": jnp.asarray(stages[bidx].astype(np.int32)),
+                }
+                self._rng, sub = _split(self._rng)
+                rngs = jax.random.split(sub, k)
+                self.trainable, opt_state, tot = self._epoch_runner(
+                    self.trainable, opt_state, batches, self.ctx, self.buffers,
+                    rngs, epoch_arr,
+                )
+                losses += float(tot.total_loss)
+                unicl_losses += float(tot.unicl_loss)
+                correct += int(tot.correct)
+                total += k * self.batch_size
+                rest = range(k * self.batch_size, n, self.batch_size)
+            else:
+                rest = range(0, n, self.batch_size)
+
+            for start in rest:
                 idx = order[start : start + self.batch_size]
                 if self._mesh_ctx is not None:
                     # data-parallel mode: shard over the data axis (trim any
@@ -382,13 +408,20 @@ class Learner(BaseLearner):
     # ------------------------------------------------------------------
     def _compute_accuracy(self) -> float:
         feats, labels, _ = self._test_feats
+        n = len(labels)
+        k = n // EVAL_BATCH
         correct = 0
-        for start in range(0, len(labels), EVAL_BATCH):
+        if k > 0:  # full eval batches in one scanned dispatch
+            fb = feats[: k * EVAL_BATCH].reshape(k, EVAL_BATCH, -1)
+            lb = labels[: k * EVAL_BATCH].reshape(k, EVAL_BATCH).astype(np.int32)
+            correct += int(eval_correct_scan(self.trainable, jnp.asarray(fb),
+                                             jnp.asarray(lb), self.ctx))
+        for start in range(k * EVAL_BATCH, n, EVAL_BATCH):
             f = jnp.asarray(feats[start : start + EVAL_BATCH])
             logits = eval_logits(self.trainable, f, self.ctx)
             preds = np.asarray(jnp.argmax(logits, axis=1))
             correct += int((preds == labels[start : start + EVAL_BATCH]).sum())
-        return float(np.around(correct * 100 / len(labels), decimals=2))
+        return float(np.around(correct * 100 / n, decimals=2))
 
     def _eval_cnn(self, loader):
         # reuse the cached frozen-backbone test features when the loader is the

@@ -340,8 +340,7 @@ def build_train_step(cfg, dims: ProofDims, tx: optax.GradientTransformation,
         clip_axis=clip_axis,
     )
 
-    @jax.jit
-    def train_step(tr, opt_state, batch, ctx, buffers, rng, epoch):
+    def _step(tr, opt_state, batch, ctx, buffers, rng, epoch):
         (loss, stats), grads = jax.value_and_grad(proof_loss, has_aux=True)(
             tr, batch, ctx, buffers, rng, epoch, **kwargs
         )
@@ -350,10 +349,74 @@ def build_train_step(cfg, dims: ProofDims, tx: optax.GradientTransformation,
         new_tr = restore_frozen_slices(new_tr, tr, ctx.cur_onehot)
         return new_tr, new_opt_state, stats
 
-    return train_step
+    return jax.jit(_step)
+
+
+def build_epoch_runner(cfg, dims: ProofDims, tx: optax.GradientTransformation,
+                       clip_axis: Optional[str] = None):
+    """One jitted call per EPOCH: ``lax.scan`` over stacked full batches.
+
+    Identical math to dispatching the single train step per batch (same
+    optimizer state threading, same per-batch rngs) but one host→device
+    round-trip per epoch instead of per step — the per-dispatch tunnel latency
+    on this environment (~100ms) would otherwise dominate the tiny cached-
+    feature steps. Remainder (non-full) batches go through the single step."""
+
+    temperature = cfg.temperature if not cfg.parity_mode else 0.07
+    kwargs = dict(
+        max_epoch=cfg.tuned_epoch,
+        temperature=float(temperature),
+        instance_weight=float(cfg.unicl_instance_weight if not cfg.parity_mode else 1.0),
+        category_weight=float(cfg.unicl_category_weight if not cfg.parity_mode else 0.5),
+        unicl_weight=float(cfg.unicl_loss_weight),
+        num_states=dims.num_states,
+        parity_no_grad_ce=bool(cfg.parity_mode),
+        clip_axis=clip_axis,
+    )
+
+    @jax.jit
+    def run_epoch(tr, opt_state, batches, ctx, buffers, rngs, epoch):
+        """``batches``: dict of [K, B, ...] stacked full batches; ``rngs``: [K, 2]."""
+
+        def body(carry, xs):
+            tr, opt_state = carry
+            batch, rng = xs
+            (loss, stats), grads = jax.value_and_grad(proof_loss, has_aux=True)(
+                tr, batch, ctx, buffers, rng, epoch, **kwargs
+            )
+            updates, new_opt = tx.update(grads, opt_state, tr)
+            new_tr = optax.apply_updates(tr, updates)
+            new_tr = restore_frozen_slices(new_tr, tr, ctx.cur_onehot)
+            return (new_tr, new_opt), stats
+
+        (tr, opt_state), stats = jax.lax.scan(body, (tr, opt_state), (batches, rngs))
+        totals = StepStats(
+            total_loss=jnp.sum(stats.total_loss),
+            ce_loss=jnp.sum(stats.ce_loss),
+            clip_loss=jnp.sum(stats.clip_loss),
+            unicl_loss=jnp.sum(stats.unicl_loss),
+            correct=jnp.sum(stats.correct),
+        )
+        return tr, opt_state, totals
+
+    return run_epoch
 
 
 @jax.jit
 def eval_logits(tr, basic_img, ctx: TaskContext) -> jax.Array:
     """Deterministic classification logits for eval (attention dropout off)."""
     return classification_logits(tr, basic_img, ctx)
+
+
+@jax.jit
+def eval_correct_scan(tr, feats, labels, ctx: TaskContext) -> jax.Array:
+    """Count correct top-1 predictions over stacked eval batches ``[K, B, D]`` /
+    ``[K, B]`` in one dispatch."""
+
+    def body(total, xs):
+        f, y = xs
+        preds = jnp.argmax(classification_logits(tr, f, ctx), axis=1)
+        return total + jnp.sum(preds == y), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), (feats, labels))
+    return total
