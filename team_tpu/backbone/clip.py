@@ -166,27 +166,44 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
     return x
 
 
-def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, *,
-                 compute_dtype=jnp.float32, attn_impl: str = "auto") -> jax.Array:
-    """Image tower: ``[B, H, W, 3]`` float (already normalized) -> ``[B, embed_dim]``."""
+def embed_patches(params: Params, images: jax.Array, cfg: CLIPConfig, *,
+                  compute_dtype=jnp.float32) -> jax.Array:
+    """Patch-embedding stage: ``[B, H, W, 3]`` -> ``[B, g*g, width]`` (one MXU
+    matmul; pixel order matches the torch conv layout for weight import)."""
     v = cfg.vision
     p = params["vision"]
     b = images.shape[0]
     g, ps = v.grid, v.patch_size
     x = images.astype(compute_dtype)
-    # NHWC -> [B, gh, gw, (C, ph, pw)] patch extraction matching torch conv layout
     x = x.reshape(b, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # B, gh, gw, C, ph, pw
     x = x.reshape(b, g * g, 3 * ps * ps)
-    x = x @ p["patch_w"].astype(compute_dtype)
+    return x @ p["patch_w"].astype(compute_dtype)
+
+
+def encode_from_patches(params: Params, patch_tokens: jax.Array, cfg: CLIPConfig, *,
+                        compute_dtype=jnp.float32, attn_impl: str = "auto") -> jax.Array:
+    """Transformer stage over patch tokens (exposed separately so saliency /
+    Grad-CAM can differentiate w.r.t. the patch activations)."""
+    v = cfg.vision
+    p = params["vision"]
+    b = patch_tokens.shape[0]
     cls = jnp.broadcast_to(p["cls"].astype(compute_dtype), (b, 1, v.width))
-    x = jnp.concatenate([cls, x], axis=1)
+    x = jnp.concatenate([cls, patch_tokens.astype(compute_dtype)], axis=1)
     x = x + p["pos"].astype(compute_dtype)
     x = _layer_norm(p["ln_pre"], x)
     for blk in p["blocks"]:
         x = _block_forward(blk, x, v.heads, causal=False, kv_len=v.seq_len, impl=attn_impl)
     x = _layer_norm(p["ln_post"], x[:, 0])
     return (x @ p["proj"].astype(compute_dtype)).astype(jnp.float32)
+
+
+def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, *,
+                 compute_dtype=jnp.float32, attn_impl: str = "auto") -> jax.Array:
+    """Image tower: ``[B, H, W, 3]`` float (already normalized) -> ``[B, embed_dim]``."""
+    tokens = embed_patches(params, images, cfg, compute_dtype=compute_dtype)
+    return encode_from_patches(params, tokens, cfg, compute_dtype=compute_dtype,
+                               attn_impl=attn_impl)
 
 
 def encode_text(params: Params, tokens: jax.Array, cfg: CLIPConfig, *,

@@ -174,6 +174,40 @@ class iCIFAR224(iData):
         self._data_loaded = True
 
 
+class iCIFAR(iData):
+    """Array-backed CIFAR-10/100 from local pickle batches (reference
+    ``utils/data.py:14-67``; their 32-px random-crop/color-jitter pipelines feed
+    the reference's image-only registry, unused by the CLIP learners — kept for
+    registry completeness)."""
+
+    use_path = False
+
+    def __init__(self, data_root: Optional[str] = None, fine: bool = True):
+        self.fine = fine
+        name = "cifar100" if fine else "cifar10"
+        self.data_root = data_root or os.environ.get("TEAM_DATA_ROOT", f"./data/{name}")
+
+    def download_data(self):
+        if self._data_loaded:
+            return
+        import pickle
+
+        label_key = b"fine_labels" if self.fine else b"labels"
+
+        def _load(split):
+            with open(os.path.join(self.data_root, split), "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            data = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+            return data, np.asarray(d[label_key])
+
+        self.train_data, self.train_targets = _load("train")
+        self.test_data, self.test_targets = _load("test")
+        self.train_stages = np.full(len(self.train_targets), 4)
+        self.test_stages = np.full(len(self.test_targets), 4)
+        self.class_order = list(range(100 if self.fine else 10))
+        self._data_loaded = True
+
+
 class ImageFolderDataset(iData):
     """Generic ``root/{train,test}/class_x/*.jpg`` dataset covering the
     reference's ImageFolder-backed registry entries (imagenet-r/a, cub,
@@ -285,6 +319,10 @@ def get_idata(name: str, data_root: Optional[str] = None, **kwargs) -> iData:
         ds = SyntheticInsects(**kwargs)
     elif n == "cifar224":
         ds = iCIFAR224(data_root)
+    elif n == "cifar100":
+        ds = iCIFAR(data_root, fine=True)
+    elif n == "cifar10":
+        ds = iCIFAR(data_root, fine=False)
     elif n in _FOLDER_DATASETS:
         ds = ImageFolderDataset(data_root, name=n, **_FOLDER_DATASETS[n])
     elif n == "imagefolder":

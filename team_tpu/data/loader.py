@@ -38,7 +38,8 @@ class ArrayLoader:
 
     def __init__(self, dataset: TeamDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 8, image_size: int = 224,
-                 prefetch: int = 2, drop_last: bool = False, use_native: bool = False):
+                 prefetch: int = 2, drop_last: bool = False, use_native: bool = False,
+                 augment_ops=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,6 +48,7 @@ class ArrayLoader:
         self.image_size = image_size
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.augment_ops = augment_ops  # optional op names from team_tpu.data.augment
         self._epoch = 0
         # Native C++ decode+resize+normalize fast path (native/team_io.cc): only
         # valid for path-backed datasets on the deterministic CLIP pipeline.
@@ -67,6 +69,10 @@ class ArrayLoader:
 
     def _transform(self, img: Image.Image, rng: Optional[np.random.Generator]) -> np.ndarray:
         mode = self.dataset.mode
+        if mode == "train" and self.augment_ops and rng is not None:
+            from team_tpu.data.augment import random_augment
+
+            img = random_augment(img, rng, ops=self.augment_ops)
         if mode == "flip":
             return flip_transform(img, self.image_size)
         if mode == "train" and not self.dataset.deterministic_train:

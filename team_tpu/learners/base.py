@@ -97,6 +97,8 @@ class BaseLearner:
             shuffle=shuffle,
             num_threads=self.cfg.num_io_threads,
             image_size=self.image_size,
+            use_native=bool(self.cfg.get("use_native_io", False)),
+            augment_ops=self.cfg.get("augment_ops", None),
         )
 
     def _extract_vectors(self, loader: ArrayLoader) -> Tuple[np.ndarray, np.ndarray]:

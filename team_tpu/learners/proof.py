@@ -175,6 +175,12 @@ class Learner(BaseLearner):
         # cache frozen-backbone features for the whole task (exact: deterministic
         # transforms + frozen towers). ~20x fewer backbone FLOPs than the
         # reference's per-epoch re-encoding.
+        if self.cfg.get("augment_ops", None) or not train_ds.deterministic_train:
+            logging.warning(
+                "train pipeline is stochastic (augment_ops / random-crop dataset); "
+                "PROOF caches frozen-backbone features once per task, so per-epoch "
+                "augmentation variation is not re-sampled"
+            )
         self._train_feats = self._dataset_features(train_ds)
         self._test_feats = self._dataset_features(test_ds)
 

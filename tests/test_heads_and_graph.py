@@ -180,3 +180,18 @@ def test_toolkit_helpers():
     assert tensor2numpy(jnp.ones(3)).shape == (3,)
     imgs, labels = split_images_labels([("a.jpg", 0), ("b.jpg", 1)])
     assert list(labels) == [0, 1]
+
+
+def test_grad_cam_saliency(rng):
+    from team_tpu.analysis.gradcam import grad_cam
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+    target = jnp.asarray(rng.standard_normal(cfg.embed_dim).astype(np.float32))
+    cam = np.asarray(grad_cam(params, imgs, target, cfg))
+    g = cfg.vision.grid
+    assert cam.shape == (2, g, g)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
