@@ -39,7 +39,7 @@ class ArrayLoader:
     def __init__(self, dataset: TeamDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 8, image_size: int = 224,
                  prefetch: int = 2, drop_last: bool = False, use_native: bool = False,
-                 augment_ops=None):
+                 augment_ops=None, pad_last: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,6 +49,9 @@ class ArrayLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.augment_ops = augment_ops  # optional op names from team_tpu.data.augment
+        # pad_last repeats leading samples so every batch has a fixed shape (one
+        # jit compile); batches then carry a "valid" count for the consumer.
+        self.pad_last = pad_last
         self._epoch = 0
         # Native C++ decode+resize+normalize fast path (native/team_io.cc): only
         # valid for path-backed datasets on the deterministic CLIP pipeline.
@@ -80,6 +83,10 @@ class ArrayLoader:
         return clip_transform(img, self.image_size)
 
     def _make_batch(self, idxs: np.ndarray, pool, rng) -> Dict[str, np.ndarray]:
+        valid = len(idxs)
+        if self.pad_last and valid < self.batch_size:
+            reps = -(-self.batch_size // max(valid, 1))
+            idxs = np.tile(idxs, reps)[: self.batch_size]
         items = [self.dataset.images[i] for i in idxs]
         if self._native:
             from team_tpu.data import native_io
@@ -94,6 +101,7 @@ class ArrayLoader:
                     "label": self.dataset.labels[idxs].astype(np.int32),
                     "stage_id": self.dataset.stages[idxs].astype(np.int32),
                     "index": idxs.astype(np.int32),
+                    "valid": np.int32(valid),
                 }
             # fall through to the PIL path on any decode failure
         rngs = [np.random.default_rng(rng.integers(0, 2 ** 31)) for _ in idxs] if rng else [None] * len(idxs)
@@ -108,6 +116,7 @@ class ArrayLoader:
             "label": self.dataset.labels[idxs].astype(np.int32),
             "stage_id": self.dataset.stages[idxs].astype(np.int32),
             "index": idxs.astype(np.int32),
+            "valid": np.int32(valid),
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

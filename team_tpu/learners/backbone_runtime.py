@@ -69,18 +69,30 @@ class BackboneRuntime:
     def encode_text_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
         return self._encode_text(self.params, tokens)
 
+    TEXT_BUCKET = 32  # pad text batches to a fixed size: one compile, not one per count
+
     def encode_texts(self, texts: Sequence[str], cache: bool = True) -> jnp.ndarray:
-        """Encode strings; frozen backbone makes per-string caching exact."""
+        """Encode strings; frozen backbone makes per-string caching exact.
+        Batches are padded to ``TEXT_BUCKET`` so the jitted text tower compiles
+        for a single shape (remote compiles are minutes each on this env)."""
         missing = [t for t in texts if t not in self._text_cache] if cache else list(texts)
-        if missing:
-            toks = jnp.asarray(self.tokenizer(missing))
-            feats = np.asarray(self.encode_text_tokens(toks))
-            if cache:
-                for t, f in zip(missing, feats):
+        # de-dup while preserving order
+        missing = list(dict.fromkeys(missing))
+        feats_by_text = {}
+        for start in range(0, len(missing), self.TEXT_BUCKET):
+            chunk = missing[start : start + self.TEXT_BUCKET]
+            toks = self.tokenizer(chunk)
+            pad = self.TEXT_BUCKET - len(chunk)
+            if pad:
+                toks = np.concatenate([toks, np.repeat(toks[-1:], pad, axis=0)])
+            feats = np.asarray(self.encode_text_tokens(jnp.asarray(toks)))[: len(chunk)]
+            for t, f in zip(chunk, feats):
+                feats_by_text[t] = f
+                if cache:
                     self._text_cache[t] = f
         if cache:
             return jnp.asarray(np.stack([self._text_cache[t] for t in texts]))
-        return jnp.asarray(feats)
+        return jnp.asarray(np.stack([feats_by_text[t] for t in texts]))
 
     @property
     def logit_scale(self) -> jnp.ndarray:

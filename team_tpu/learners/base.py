@@ -90,7 +90,9 @@ class BaseLearner:
         logging.info("Exemplar size: %d", self.exemplar_size)
 
     # ------------------------------------------------------------------
-    def _loader(self, dataset, shuffle=False, batch_size=None) -> ArrayLoader:
+    def _loader(self, dataset, shuffle=False, batch_size=None, pad_last=True) -> ArrayLoader:
+        # pad_last: fixed batch shapes -> a single jit compile per consumer (the
+        # remote TPU compiler takes minutes per shape); consumers slice [:valid].
         return ArrayLoader(
             dataset,
             batch_size or self.batch_size,
@@ -99,23 +101,26 @@ class BaseLearner:
             image_size=self.image_size,
             use_native=bool(self.cfg.get("use_native_io", False)),
             augment_ops=self.cfg.get("augment_ops", None),
+            pad_last=pad_last,
         )
 
     def _extract_vectors(self, loader: ArrayLoader) -> Tuple[np.ndarray, np.ndarray]:
         vectors, targets = [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             feats = self.extract_vector(jnp.asarray(batch["image"]))
-            vectors.append(np.asarray(feats))
-            targets.append(batch["label"])
+            vectors.append(np.asarray(feats)[:v])
+            targets.append(batch["label"][:v])
         return np.concatenate(vectors), np.concatenate(targets)
 
     def _extract_vectors_with_states(self, loader: ArrayLoader):
         vectors, targets, states = [], [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             feats = self.extract_vector(jnp.asarray(batch["image"]))
-            vectors.append(np.asarray(feats))
-            targets.append(batch["label"])
-            states.append(batch["stage_id"])
+            vectors.append(np.asarray(feats)[:v])
+            targets.append(batch["label"][:v])
+            states.append(batch["stage_id"][:v])
         return np.concatenate(vectors), np.concatenate(targets), np.concatenate(states)
 
     # ------------------------------------------------------------------
@@ -181,13 +186,14 @@ class BaseLearner:
         loader = self._loader(ds)
         y_pred, y_true = [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             img = self.encode_image(jnp.asarray(batch["image"]))
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             logits = img @ text_features.T
             k = min(self.topk, logits.shape[1])
             preds = jax.lax.top_k(logits, k)[1]
-            y_pred.append(np.asarray(preds))
-            y_true.append(batch["label"])
+            y_pred.append(np.asarray(preds)[:v])
+            y_true.append(batch["label"][:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
     # ------------------------------------------------------------------

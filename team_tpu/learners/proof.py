@@ -229,12 +229,13 @@ class Learner(BaseLearner):
         loader = self._loader(ds, batch_size=EVAL_BATCH)
         feats, labels, stages = [], [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             f = self.backbone.encode_image(jnp.asarray(batch["image"]))
             if normalize:
                 f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
-            feats.append(np.asarray(f))
-            labels.append(batch["label"])
-            stages.append(batch["stage_id"])
+            feats.append(np.asarray(f)[:v])
+            labels.append(batch["label"][:v])
+            stages.append(batch["stage_id"][:v])
         return np.concatenate(feats), np.concatenate(labels), np.concatenate(stages)
 
     # ------------------------------------------------------------------
@@ -450,6 +451,7 @@ class Learner(BaseLearner):
             return np.concatenate(y_pred), labels
         y_pred, y_true = [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             basic = self.backbone.encode_image(jnp.asarray(batch["image"]))
             logits = eval_logits(self.trainable, basic, self.ctx)
             k = min(self.topk, self._total_classes)
@@ -458,8 +460,8 @@ class Learner(BaseLearner):
                 preds = np.concatenate(
                     [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)], axis=1
                 )
-            y_pred.append(preds)
-            y_true.append(batch["label"])
+            y_pred.append(preds[:v])
+            y_true.append(batch["label"][:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
 

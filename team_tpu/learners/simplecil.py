@@ -88,6 +88,7 @@ class Learner(BaseLearner):
         mask = self._class_mask()
         y_pred, y_true = [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             feats = self.extract_vector(jnp.asarray(batch["image"]))
             logits = cosine_linear_forward(self.fc, feats, mask)
             k = min(self.topk, self._total_classes)
@@ -96,17 +97,18 @@ class Learner(BaseLearner):
                 preds = np.concatenate(
                     [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)], axis=1
                 )
-            y_pred.append(preds)
-            y_true.append(batch["label"])
+            y_pred.append(preds[:v])
+            y_true.append(batch["label"][:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
     def _compute_accuracy(self, loader) -> float:
         mask = self._class_mask()
         correct, total = 0, 0
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             feats = self.extract_vector(jnp.asarray(batch["image"]))
             logits = cosine_linear_forward(self.fc, feats, mask)
-            preds = np.asarray(jnp.argmax(logits, axis=1))
-            correct += int((preds == batch["label"]).sum())
-            total += len(batch["label"])
+            preds = np.asarray(jnp.argmax(logits, axis=1))[:v]
+            correct += int((preds == batch["label"][:v]).sum())
+            total += v
         return float(np.around(correct * 100 / total, decimals=2))

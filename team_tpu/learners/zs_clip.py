@@ -64,6 +64,7 @@ class Learner(BaseLearner):
         text_features = self._known_text_features()
         y_pred, y_true = [], []
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             img = self.encode_image(jnp.asarray(batch["image"]))
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             logits = img @ text_features.T
@@ -73,18 +74,19 @@ class Learner(BaseLearner):
                 preds = np.concatenate(
                     [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)], axis=1
                 )
-            y_pred.append(preds)
-            y_true.append(batch["label"])
+            y_pred.append(preds[:v])
+            y_true.append(batch["label"][:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
     def _compute_accuracy(self, loader) -> float:
         text_features = self._known_text_features()
         correct, total = 0, 0
         for batch in loader:
+            v = int(batch.get("valid", len(batch["label"])))
             img = self.encode_image(jnp.asarray(batch["image"]))
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             logits = img @ text_features.T
-            preds = np.asarray(jnp.argmax(logits, axis=1))
-            correct += int((preds == batch["label"]).sum())
-            total += len(batch["label"])
+            preds = np.asarray(jnp.argmax(logits, axis=1))[:v]
+            correct += int((preds == batch["label"][:v]).sum())
+            total += v
         return float(np.around(correct * 100 / total, decimals=2))
