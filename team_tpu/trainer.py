@@ -74,7 +74,10 @@ def _train(cfg: Config) -> Dict[str, List[float]]:
             logging.info("total params: %d", count_parameters(model.trainable))
         start_time = time.time()
 
-        model.incremental_train(data_manager)
+        from team_tpu.analysis.profiler import trace
+
+        with trace(cfg.profile_dir, name=f"task_{task}"):
+            model.incremental_train(data_manager)
         cnn_accy, nme_accy, zs_seen, zs_unseen, zs_harmonic, zs_total = model.eval_task()
         model.after_task()
         if hasattr(model, "update_state_distance_matrix"):

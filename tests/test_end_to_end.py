@@ -73,3 +73,30 @@ def test_proof_fixed_memory_per_state(fixed):
     cfg = tiny_cfg("proof", fixed_memory=fixed, memory_per_class=4, tuned_epoch=1)
     res = train(cfg)
     assert len(res["cnn_top1"]) == 3
+
+
+def test_compute_accuracy_helpers():
+    """zs_clip and simplecil expose the reference _compute_accuracy surface."""
+    from team_tpu.learners.factory import get_model
+    from team_tpu.data.manager import DataManager
+
+    cfg = tiny_cfg("zs_clip")
+    dm = DataManager("synthetic_insects", shuffle=True, seed=1, init_cls=2, increment=2,
+                     num_classes=6, img_size=32)
+    m = get_model("zs_clip", cfg)
+    m.incremental_train(dm)
+    acc = m._compute_accuracy(m.test_loader)
+    assert 0.0 <= acc <= 100.0
+
+    m2 = get_model("simplecil", tiny_cfg("simplecil"))
+    m2.incremental_train(dm)
+    acc2 = m2._compute_accuracy(m2.test_loader)
+    assert 0.0 <= acc2 <= 100.0
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    cfg = tiny_cfg("zs_clip", profile_dir=str(tmp_path / "prof"), init_cls=3, increment=3)
+    res = train(cfg)
+    assert len(res["cnn_top1"]) == 2
+    import os
+    assert os.path.isdir(str(tmp_path / "prof"))
