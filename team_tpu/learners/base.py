@@ -183,7 +183,8 @@ class BaseLearner:
         text_features = self._zero_shot_text_features()
         total = self.data_manager.get_total_classnum()
         ds = self.data_manager.get_dataset(np.arange(0, total), source="test", mode="test")
-        loader = self._loader(ds)
+        # EVAL_BATCH keeps the image tower at one compiled batch shape
+        loader = self._loader(ds, batch_size=EVAL_BATCH)
         y_pred, y_true = [], []
         for batch in loader:
             v = int(batch.get("valid", len(batch["label"])))

@@ -59,7 +59,7 @@ class Learner(BaseLearner):
         self.train_dataset = train_ds
         self.train_loader = self._loader(train_ds, shuffle=True)
         test_ds = data_manager.get_dataset(np.arange(0, self._total_classes), source="test", mode="test")
-        self.test_loader = self._loader(test_ds)
+        self.test_loader = self._loader(test_ds, batch_size=128)  # EVAL batch: single tower compile shape
         proto_ds = data_manager.get_dataset(
             np.arange(self._known_classes, self._total_classes), source="train", mode="test"
         )

@@ -46,7 +46,7 @@ class Learner(BaseLearner):
         self.data_manager = data_manager
         logging.info("Learning on %d-%d", self._known_classes, self._total_classes)
         test_ds = data_manager.get_dataset(np.arange(0, self._total_classes), source="test", mode="test")
-        self.test_loader = self._loader(test_ds)
+        self.test_loader = self._loader(test_ds, batch_size=128)  # EVAL batch: single tower compile shape
 
     def _known_text_features(self) -> jnp.ndarray:
         class_to_label = self.data_manager._class_to_label
