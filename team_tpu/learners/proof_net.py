@@ -217,6 +217,49 @@ def tri_modal_forward(
     return img_f, txt_f, st_f, proto_f, jnp.exp(tr["logit_scale"])
 
 
+def bi_modal_forward(
+    tr,
+    basic_img: jax.Array,
+    basic_txt: jax.Array,
+    img_prototypes: jax.Array,
+    ctx: TaskContext,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+):
+    """``Proof_Net.forward`` / ``forward_transformer`` (reference
+    ``inc_net.py:436-492``): fuse [image, batch texts, prototypes, context
+    prompts] (no state token) and mean the text/prototype outputs over the
+    batch dimension, as the reference does (``:458-459``)."""
+    b = basic_img.shape[0]
+    d = basic_img.shape[-1]
+    img = _normalize(project_image(tr, basic_img, ctx))
+    txt = _normalize(project_text(tr, basic_txt, ctx))
+    proto = encode_prototypes(tr, img_prototypes, ctx, normalize=True)
+    prompts = tr["context_prompts"]
+    t, l = prompts.shape[0], prompts.shape[1]
+    ctx_tokens = prompts.reshape(t * l, d)
+    n_txt = txt.shape[0]
+    c = proto.shape[0]
+    seq = jnp.concatenate(
+        [
+            img[:, None, :],
+            jnp.broadcast_to(txt[None], (b, n_txt, d)),
+            jnp.broadcast_to(proto[None], (b, c, d)),
+            jnp.broadcast_to(ctx_tokens[None], (b, t * l, d)),
+        ],
+        axis=1,
+    )
+    key_mask = jnp.concatenate(
+        [jnp.ones(1), jnp.ones(n_txt), ctx.class_mask, jnp.repeat(ctx.task_mask, l)]
+    )
+    out = fusion_attention(tr["sel_attn"], seq, key_mask, rng=rng, deterministic=deterministic)
+    img_f = out[:, 0]
+    txt_f = jnp.mean(out[:, 1 : 1 + n_txt], axis=0)              # mean over batch (:458)
+    proto_out = out[:, 1 + n_txt : 1 + n_txt + c]
+    proto_f = jnp.mean(proto_out, axis=0)                        # mean over batch (:459)
+    return img_f, txt_f, jnp.exp(tr["logit_scale"]), proto_f
+
+
 # ---------------------------------------------------------------------------
 # loss + train step
 # ---------------------------------------------------------------------------

@@ -91,6 +91,32 @@ class MeshContext:
         )
 
 
+def shard_clip_params(params, mesh: Mesh, model_axis: str = "model"):
+    """Tensor-parallel shardings for the CLIP towers over a ``("data","model")``
+    mesh: attention qkv/out and MLP weights split on the head/hidden dimension,
+    embeddings and norms replicated. The towers are plain einsums, so placing
+    these shardings on the params is all XLA's SPMD partitioner needs — the
+    reference has no TP at all (SURVEY §2.2: optional framework surface)."""
+
+    def spec_for(path: str, x):
+        if x.ndim < 2:
+            return P()
+        if any(k in path for k in ("qkv_w", "fc_w")):
+            return P(None, model_axis)       # split output/hidden dim
+        if any(k in path for k in ("out_w", "proj_w")):
+            return P(model_axis, None)       # split input dim (row-parallel)
+        return P()
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + "/" + k) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, path) for v in tree]
+        return jax.device_put(tree, NamedSharding(mesh, spec_for(path, tree)))
+
+    return walk(params)
+
+
 def describe_devices() -> str:
     devs = jax.devices()
     txt = f"{len(devs)} device(s): {devs[0].platform}"

@@ -100,3 +100,47 @@ def test_proof_learner_trains_on_mesh():
     assert len(res["cnn_top1"]) == 2
     for acc in res["cnn_top1"]:
         assert 0.0 <= acc <= 100.0
+
+
+def test_tensor_parallel_clip_tower():
+    """TP-sharded tower params give the same encode as replicated params."""
+    from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
+    from team_tpu.parallel.mesh import make_mesh, shard_clip_params
+
+    cfg = CLIPConfig.tiny()
+    params = jax.tree_util.tree_map(jnp.asarray, init_clip_params(jax.random.PRNGKey(0), cfg))
+    imgs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (4, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+    ref = np.asarray(encode_image(params, imgs, cfg, attn_impl="xla"))
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    sharded = shard_clip_params(params, mesh)
+    batch_sh = NamedSharding(mesh, P("data"))
+    imgs_s = jax.device_put(imgs, batch_sh)
+    with mesh:
+        out = np.asarray(jax.jit(
+            lambda p, x: encode_image(p, x, cfg, attn_impl="xla"))(sharded, imgs_s))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_bi_modal_forward_shapes(rng):
+    from team_tpu.learners.proof_net import (
+        ProofDims, TaskContext, bi_modal_forward, init_buffers, init_proof_params,
+    )
+
+    dims = ProofDims(feature_dim=8, max_classes=6, max_tasks=3, ctx_len=2)
+    tr, _ = init_proof_params(jax.random.PRNGKey(0), dims, 2.0)
+    ctx = TaskContext(
+        task_mask=jnp.asarray([1.0, 0.0, 0.0]),
+        cur_onehot=jnp.asarray([1.0, 0.0, 0.0]),
+        class_mask=jnp.asarray([1, 1, 0, 0, 0, 0], jnp.float32),
+        class_text_basic=jax.random.normal(jax.random.PRNGKey(1), (6, 8)),
+    )
+    buffers = init_buffers(dims)
+    x = jnp.asarray(rng.standard_normal((4, 8)).astype(np.float32))
+    txt = ctx.class_text_basic[:2]
+    img_f, txt_f, scale, proto_f = bi_modal_forward(tr, x, txt, buffers.img_prototypes, ctx)
+    assert img_f.shape == (4, 8)
+    assert txt_f.shape == (2, 8)   # text outputs meaned over the batch dim
+    assert proto_f.shape == (6, 8)
+    assert np.isclose(float(scale), np.exp(2.0))
