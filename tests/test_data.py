@@ -152,3 +152,24 @@ def test_imagefolder_dataset(tmp_path, rng):
     assert len(ds) == 4
     assert (ds.stages == 4).all()  # default-adult for non-insect datasets
     assert not ds.deterministic_train  # cub uses the random-crop train pipeline
+
+
+def test_manager_split_and_flip_and_rmm(rng):
+    dm = DataManager("synthetic_insects", shuffle=True, seed=2, init_cls=2, increment=2,
+                     num_classes=6, img_size=32)
+    train, val = dm.get_dataset_with_split(np.arange(0, 2), source="train", mode="train",
+                                           val_samples_per_class=2)
+    assert len(val) == 4
+    assert len(train) + len(val) == (dm._train_targets < 2).sum()
+    flip_ds = dm.get_dataset(np.arange(0, 2), source="test", mode="flip")
+    loader = ArrayLoader(flip_ds, batch_size=4, image_size=32, prefetch=0)
+    b = next(iter(loader))
+    assert b["image"].shape[1:] == (32, 32, 3)
+    # m_rate subsampling returns fewer samples
+    full = dm.get_dataset(np.arange(0, 2), source="train", mode="test")
+    sub = dm.get_dataset(np.arange(0, 2), source="train", mode="test", m_rate=0.5)
+    assert len(sub) < len(full)
+    assert dm.getlen(0) == int((dm._train_targets == 0).sum())
+    # stage-aware prompt builder (reference data_manager.py:219-234)
+    prompt = dm.get_stage_prompt(0, 4)
+    assert dm._class_to_label[0] in prompt
