@@ -126,7 +126,10 @@ def _linear_init(key, d_in, d_out):
 
 
 def _normalize(x, axis=-1):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+    # grad-safe at ||x|| = 0 (see team_tpu.losses.unicl._normalize): zero-padded
+    # prototype rows flow through this with gradients attached
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, 1e-24))
 
 
 # ---------------------------------------------------------------------------

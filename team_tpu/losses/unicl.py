@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 
 def _normalize(x, axis=-1):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), 1e-12)
+    # grad-safe: clamp BEFORE the sqrt so d(sqrt)/dx never hits inf at ||x||=0
+    # (0·inf = NaN would leak through untaken `where` branches — e.g. the
+    # zero-initialized evolution embeddings before the first evolution pass)
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sq, 1e-24))
 
 
 def dynamic_temperature(temperature: float, epoch, max_epoch) -> jax.Array:
@@ -133,7 +137,10 @@ def unicl_loss(
     pos = jnp.sum(ex * labels_matrix, axis=1)
     alln = jnp.sum(ex * self_mask, axis=1)
     valid = (pos > 0) & (alln > 0)
-    row_loss = jnp.where(valid, -jnp.log(pos / (alln + 1e-8)), 0.0)
+    # double-where: log(0) on invalid rows would poison gradients (0·inf = NaN)
+    pos_safe = jnp.where(valid, pos, 1.0)
+    alln_safe = jnp.where(valid, alln, 1.0)
+    row_loss = jnp.where(valid, -jnp.log(pos_safe / (alln_safe + 1e-8)), 0.0)
     n_valid = jnp.sum(valid)
     category_loss = jnp.where(n_valid > 0, jnp.sum(row_loss) / jnp.maximum(n_valid, 1), 0.0)
 
