@@ -61,11 +61,33 @@ def test_simplecil_end_to_end():
 
 
 def test_proof_end_to_end():
-    res = train(tiny_cfg("proof"))
-    assert len(res["cnn_top1"]) == 3
-    assert len(res["nme_top1"]) == 3  # herding memory ran -> NME eval exists
-    for acc in res["cnn_top1"]:
+    import jax
+    import jax.numpy as jnp
+
+    from team_tpu.data.manager import DataManager
+    from team_tpu.learners.factory import get_model
+
+    cfg = tiny_cfg("proof")
+    dm = DataManager("synthetic_insects", shuffle=True, seed=1, init_cls=2, increment=2,
+                     num_classes=6, img_size=32)
+    model = get_model("proof", cfg)
+    curves = []
+    for task in range(dm.nb_tasks):
+        model.incremental_train(dm)
+        cnn_accy, nme_accy, *_ = model.eval_task()
+        model.after_task()
+        model.update_state_distance_matrix(dm)
+        curves.append(cnn_accy["top1"])
+        assert nme_accy is not None
+    assert len(curves) == 3
+    for acc in curves:
         assert 0.0 <= acc <= 100.0
+    # numerical health: all trained params and buffers stay finite
+    for leaf in jax.tree_util.tree_leaves(model.trainable):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    for leaf in jax.tree_util.tree_leaves(tuple(model.buffers)):
+        if leaf.dtype.kind == "f":
+            assert bool(jnp.all(jnp.isfinite(leaf)))
 
 
 @pytest.mark.parametrize("fixed", [True])
