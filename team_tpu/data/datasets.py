@@ -309,7 +309,7 @@ _REGISTRY = {}
 def get_idata(name: str, data_root: Optional[str] = None, **kwargs) -> iData:
     """Dataset factory with per-name instance caching (the reference reuses a
     loaded instance via its ``_data_loaded`` flag, ``data_manager.py:146-151``)."""
-    key = (name.lower(), data_root)
+    key = (name.lower(), data_root, tuple(sorted((k, repr(v)) for k, v in kwargs.items())))
     if key in _REGISTRY:
         return _REGISTRY[key]
     n = name.lower()

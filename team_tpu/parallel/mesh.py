@@ -91,6 +91,16 @@ class MeshContext:
         )
 
 
+def host_shard_indices(n: int, host_id: Optional[int] = None,
+                       host_count: Optional[int] = None) -> np.ndarray:
+    """Deterministic per-host slice of a dataset of ``n`` samples for multi-host
+    data parallelism: host ``i`` owns indices ``i, i+H, i+2H, ...`` (balanced,
+    order-stable, no coordination needed). Single-host returns everything."""
+    host_id = jax.process_index() if host_id is None else host_id
+    host_count = jax.process_count() if host_count is None else host_count
+    return np.arange(host_id, n, host_count)
+
+
 def shard_clip_params(params, mesh: Mesh, model_axis: str = "model"):
     """Tensor-parallel shardings for the CLIP towers over a ``("data","model")``
     mesh: attention qkv/out and MLP weights split on the head/hidden dimension,

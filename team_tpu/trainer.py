@@ -114,6 +114,22 @@ def _train(cfg: Config) -> Dict[str, List[float]]:
         if checkpointer is not None:
             checkpointer.save(task, model, cnn_curve)
 
+        # machine-readable metrics stream (one JSON object per task)
+        import json
+
+        with open(f"{logs_name}/metrics.jsonl", "a", encoding="utf-8") as f:
+            f.write(json.dumps({
+                "task": task,
+                "seconds": round(elapsed, 2),
+                "top1": float(cnn_accy["top1"]),
+                "top4_as_top5": float(cnn_accy["top4"]),
+                "grouped": {k: float(v) for k, v in cnn_accy["grouped"].items()},
+                "nme_top1": float(nme_accy["top1"]) if nme_accy else None,
+                "zs_seen": float(zs_seen), "zs_unseen": float(zs_unseen),
+                "zs_harmonic": float(zs_harmonic), "zs_total": float(zs_total),
+                "avg_acc": float(avg_acc),
+            }) + "\n")
+
     logging.info("=" * 50)
     logging.info("final CNN top1 curve: %s", cnn_curve["top1"])
     logging.info("final average accuracy: %.4f", avg_acc)

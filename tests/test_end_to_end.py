@@ -122,3 +122,34 @@ def test_profile_dir_writes_trace(tmp_path):
     assert len(res["cnn_top1"]) == 2
     import os
     assert os.path.isdir(str(tmp_path / "prof"))
+
+
+def test_full_protocol_ten_tasks():
+    """The full IIMinsects-style protocol shape: 20 classes, init 2 + inc 2 ->
+    10 tasks, multi-seed loop, metrics stream written."""
+    import glob
+    import json
+    import os
+
+    cfg = tiny_cfg(
+        "proof", init_cls=2, increment=2, tuned_epoch=1, memory_size=40, seed=[1, 2],
+        extras={"tiny_backbone": True,
+                "dataset_kwargs": {"num_classes": 20, "img_size": 32,
+                                   "train_per_stage": 3, "test_per_stage": 2}},
+    )
+    res = train(cfg)
+    assert len(res["cnn_top1"]) == 10
+    logs = glob.glob("/tmp/team_logs/proof/synthetic_insects/0/2/metrics.jsonl")
+    assert logs
+    lines = [json.loads(l) for l in open(logs[0])]
+    assert len(lines) >= 10
+    assert {"task", "top1", "zs_harmonic", "avg_acc"} <= set(lines[-1])
+
+
+def test_host_shard_indices():
+    from team_tpu.parallel.mesh import host_shard_indices
+
+    parts = [host_shard_indices(10, h, 3) for h in range(3)]
+    merged = np.sort(np.concatenate(parts))
+    np.testing.assert_array_equal(merged, np.arange(10))
+    assert abs(len(parts[0]) - len(parts[2])) <= 1
