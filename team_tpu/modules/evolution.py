@@ -102,7 +102,11 @@ def evolve_and_update(
     same_state = state_id[:, None] == state_id[None, :]
     not_self = ~jnp.eye(n, dtype=bool)
 
-    # intra-class temporal edges src i -> dst j when t_i < t_j
+    # intra-class temporal edges src i -> dst j when t_i < t_j. NOTE: the weight
+    # 1 − |Δt| is exactly 0 for the first→last states of a 2-state class; such
+    # edges still EXIST (they enter the mean-aggregation denominator), so edge
+    # existence and weight are tracked separately (reference builds the edge
+    # list before weighting, state_evolution.py:299-316).
     dt = tt[None, :] - tt[:, None]          # dt[i, j] = t_j - t_i
     intra = pair_valid & same_class & (dt > 0) & not_self
     intra_w = jnp.where(intra, 1.0 - jnp.abs(dt), 0.0)
@@ -114,10 +118,11 @@ def evolve_and_update(
     )
     # adjacency indexed [dst, src]
     adj = intra_w.T + jnp.where(inter, 0.5, 0.0).T
-    has_edges = jnp.sum(adj) > 0
+    edge_mask = (intra | inter).T
+    has_edges = jnp.sum(edge_mask) > 0
 
     flat = proto_state.reshape(n, d)
-    updated = temporal_gcn_forward(gcn_params, flat, adj, tt[:, None])
+    updated = temporal_gcn_forward(gcn_params, flat, adj, tt[:, None], edge_mask)
     keep = has_edges & nv
     new_flat = jnp.where(keep[:, None], updated, flat)
     new_protos = new_flat.reshape(c, s, d)

@@ -63,17 +63,23 @@ def init_temporal_gcn(key: jax.Array, feature_dim: int, hidden_dim: int, num_lay
     }
 
 
-def _block_forward(p: Params, x: jax.Array, adj: jax.Array) -> jax.Array:
-    """One TemporalGCNBlock over ``x: [N, H]`` with ``adj: [N, N]`` (adj[dst, src])."""
+def _block_forward(p: Params, x: jax.Array, adj: jax.Array, edge_mask: jax.Array) -> jax.Array:
+    """One TemporalGCNBlock over ``x: [N, H]`` with ``adj: [N, N]`` weights and
+    ``edge_mask: [N, N]`` existence (both [dst, src]).
+
+    Existence is separate from weight on purpose: the reference's intra-class
+    temporal edges carry weight ``1 − |Δt|``, which is exactly 0 for a 2-state
+    class (Δt = 1) — a zero-message edge that still increments the in-degree
+    used by the mean aggregation (``dynamic_modal_graph.py:311-325``)."""
     n, h = x.shape
     w = p["message"]["w"]
     w_src, w_dst = w[:h], w[h:]
     # pre-activation of message(s→d): rank-factored, [N_dst, N_src, H]
     pre = (x @ w_dst)[:, None, :] + (x @ w_src)[None, :, :] + p["message"]["b"]
     msg = jax.nn.relu(_ln(p["message"]["ln"], pre))
-    edge_mask = (adj > 0).astype(x.dtype)
-    weighted = msg * (adj * edge_mask)[:, :, None]
-    counts = jnp.sum(edge_mask, axis=1, keepdims=True)  # in-degree per dst
+    em = edge_mask.astype(x.dtype)
+    weighted = msg * (adj * em)[:, :, None]
+    counts = jnp.sum(em, axis=1, keepdims=True)  # in-degree per dst
     messages = jnp.sum(weighted, axis=1) / (counts + 1e-8)
     messages = messages * (counts > 0).astype(x.dtype)
 
@@ -89,20 +95,25 @@ def temporal_gcn_forward(
     node_features: jax.Array,
     adj: jax.Array,
     time_steps: jax.Array,
+    edge_mask: jax.Array | None = None,
 ) -> jax.Array:
     """``node_features: [N, D]``, ``adj: [N, N]`` weights (dst, src), ``time_steps:
     [N, 1]`` -> L2-normalized updated features ``[N, D]``.
 
-    Nodes with no in/out edges still pass through encoders + gated self-update,
-    exactly as isolated nodes do in the reference loop.
+    ``edge_mask`` marks which (dst, src) pairs are edges; defaults to ``adj > 0``
+    (zero-weight edges still aggregate into the mean denominator when the mask
+    says so). Nodes with no in/out edges still pass through encoders + the gated
+    self-update, exactly as isolated nodes do in the reference loop.
     """
+    if edge_mask is None:
+        edge_mask = adj > 0
     ne = params["node_encoder"]
     te = params["time_encoder"]
     h = jax.nn.relu(_ln(ne["ln"], node_features @ ne["w"] + ne["b"]))
     t = jax.nn.relu(_ln(te["ln"], time_steps @ te["w"] + te["b"]))
     x = jnp.concatenate([h, t], axis=-1)
     for blk in params["blocks"]:
-        x = _block_forward(blk, x, adj)
+        x = _block_forward(blk, x, adj, edge_mask)
     op = params["output_proj"]
     out = x @ op["w"] + op["b"]
     return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)

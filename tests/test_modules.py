@@ -293,3 +293,31 @@ def test_analysis_plots_render(tmp_path, rng):
     assert out and os.path.isfile(out)
     visualize_evolution_path(buf, save_dir=str(tmp_path / "evo"))
     assert os.path.isfile(str(tmp_path / "evo" / "class_0_evolution.png"))
+
+
+def test_temporal_gcn_zero_weight_edges_count(rng):
+    """Zero-weight edges contribute to the in-degree denominator (the reference
+    appends weight-0 intra edges for 2-state classes): results must differ from
+    omitting the edge entirely."""
+    d, hidden, n = 12, 8, 3
+    params = init_temporal_gcn(jax.random.PRNGKey(0), d, hidden, 2)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 1, (n, 1)).astype(np.float32))
+    adj = jnp.zeros((n, n)).at[1, 0].set(0.5)  # real edge 0->1
+    mask_with_zero = (adj > 0).at[1, 2].set(True)  # plus a 0-weight edge 2->1
+    out_zero_edge = np.asarray(temporal_gcn_forward(params, x, adj, t, mask_with_zero))
+    out_plain = np.asarray(temporal_gcn_forward(params, x, adj, t))
+    assert not np.allclose(out_zero_edge[1], out_plain[1])  # denominator 2 vs 1
+    np.testing.assert_allclose(out_zero_edge[0], out_plain[0], atol=1e-6)
+
+
+def test_evolution_two_state_class_zero_weight_intra_edge(rng):
+    """A single 2-state class has only weight-0 intra edges — they must still be
+    treated as existing (prototypes get updated, has_edges true)."""
+    protos, mask = _mk_buffers(rng, c=1)
+    mask[0, 1] = mask[0, 4] = 1
+    gcn = init_temporal_gcn(jax.random.PRNGKey(0), 16, 8, 2)
+    res = evolve_and_update(gcn, jnp.asarray(protos), jnp.asarray(mask),
+                            jnp.full((1,), UNKNOWN, jnp.int32))
+    assert not np.allclose(np.asarray(res.prototypes[0, 1]), protos[0, 1])
+    assert bool(res.embed_valid[0])
