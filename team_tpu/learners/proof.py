@@ -82,6 +82,14 @@ class Learner(BaseLearner):
         """Frozen-backbone features (reference SimpleClipNet.extract_vector)."""
         return self.backbone.encode_image(images)
 
+    def _extract_vectors(self, loader):
+        # NME eval runs over the task's test loader: reuse the cached frozen
+        # features (identical: same dataset, same order, frozen towers)
+        if loader is self.test_loader and getattr(self, "_test_feats", None) is not None:
+            feats, labels, _ = self._test_feats
+            return feats.copy(), labels.copy()
+        return super()._extract_vectors(loader)
+
     def encode_image(self, images):
         """Projection-summed image features (reference Proof_Net.encode_image)."""
         basic = self.backbone.encode_image(images)
@@ -163,7 +171,7 @@ class Learner(BaseLearner):
         test_ds = data_manager.get_multimodal_dataset(
             np.arange(0, self._total_classes), source="test", mode="test"
         )
-        self.test_loader = self._loader(test_ds)
+        self.test_loader = self._loader(test_ds, batch_size=EVAL_BATCH)
         proto_ds = data_manager.get_multimodal_dataset(
             np.arange(self._known_classes, self._total_classes), source="train", mode="test"
         )
