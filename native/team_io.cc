@@ -191,58 +191,74 @@ inline float CubicWeight(float x) {
   return 0.0f;
 }
 
+// Precomputed 4-tap filter table for one resize axis (normalized weights).
+struct FilterTaps {
+  std::vector<int> idx;     // [out * 4] clamped source indices
+  std::vector<float> wgt;   // [out * 4] normalized weights
+};
+
+FilterTaps BuildTaps(int in, int out) {
+  FilterTaps t;
+  t.idx.resize(static_cast<size_t>(out) * 4);
+  t.wgt.resize(static_cast<size_t>(out) * 4);
+  const float scale = static_cast<float>(in) / out;
+  for (int o = 0; o < out; ++o) {
+    const float center = (o + 0.5f) * scale - 0.5f;
+    const int base = static_cast<int>(std::floor(center));
+    float wsum = 0.0f;
+    for (int k = 0; k < 4; ++k) {
+      const int s = base - 1 + k;
+      const float w = CubicWeight(center - s);
+      t.idx[o * 4 + k] = s < 0 ? 0 : (s >= in ? in - 1 : s);
+      t.wgt[o * 4 + k] = w;
+      wsum += w;
+    }
+    for (int k = 0; k < 4; ++k) t.wgt[o * 4 + k] /= wsum;
+  }
+  return t;
+}
+
 // Separable bicubic resize RGB8 (h,w) -> float RGB (oh, ow), values in [0,255].
+// Filter taps are precomputed per axis (weights are shift-invariant per output
+// position), so the inner loops are pure multiply-adds.
 void ResizeBicubic(const uint8_t* src, int h, int w, float* dst, int oh, int ow) {
+  const FilterTaps tx = BuildTaps(w, ow);
+  const FilterTaps ty = BuildTaps(h, oh);
   std::vector<float> tmp(static_cast<size_t>(h) * ow * 3);
-  const float sx = static_cast<float>(w) / ow;
-  const float sy = static_cast<float>(h) / oh;
 
   // horizontal pass
   for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+    float* orow = tmp.data() + static_cast<size_t>(y) * ow * 3;
     for (int x = 0; x < ow; ++x) {
-      const float center = (x + 0.5f) * sx - 0.5f;
-      const int base = static_cast<int>(std::floor(center));
-      float acc[3] = {0, 0, 0};
-      float wsum = 0.0f;
-      for (int k = -1; k <= 2; ++k) {
-        int xs = base + k;
-        const float wgt = CubicWeight(center - xs);
-        if (wgt == 0.0f) continue;
-        xs = xs < 0 ? 0 : (xs >= w ? w - 1 : xs);
-        const uint8_t* p = src + (static_cast<size_t>(y) * w + xs) * 3;
-        acc[0] += wgt * p[0];
-        acc[1] += wgt * p[1];
-        acc[2] += wgt * p[2];
-        wsum += wgt;
+      const int* xi = tx.idx.data() + x * 4;
+      const float* xw = tx.wgt.data() + x * 4;
+      float r = 0, g = 0, b = 0;
+      for (int k = 0; k < 4; ++k) {
+        const uint8_t* p = row + xi[k] * 3;
+        const float w0 = xw[k];
+        r += w0 * p[0];
+        g += w0 * p[1];
+        b += w0 * p[2];
       }
-      float* o = tmp.data() + (static_cast<size_t>(y) * ow + x) * 3;
-      o[0] = acc[0] / wsum;
-      o[1] = acc[1] / wsum;
-      o[2] = acc[2] / wsum;
+      orow[x * 3 + 0] = r;
+      orow[x * 3 + 1] = g;
+      orow[x * 3 + 2] = b;
     }
   }
-  // vertical pass
+  // vertical pass (row-major friendly: accumulate 4 source rows per output row)
   for (int y = 0; y < oh; ++y) {
-    const float center = (y + 0.5f) * sy - 0.5f;
-    const int base = static_cast<int>(std::floor(center));
-    for (int x = 0; x < ow; ++x) {
-      float acc[3] = {0, 0, 0};
-      float wsum = 0.0f;
-      for (int k = -1; k <= 2; ++k) {
-        int ys = base + k;
-        const float wgt = CubicWeight(center - ys);
-        if (wgt == 0.0f) continue;
-        ys = ys < 0 ? 0 : (ys >= h ? h - 1 : ys);
-        const float* p = tmp.data() + (static_cast<size_t>(ys) * ow + x) * 3;
-        acc[0] += wgt * p[0];
-        acc[1] += wgt * p[1];
-        acc[2] += wgt * p[2];
-        wsum += wgt;
-      }
-      float* o = dst + (static_cast<size_t>(y) * ow + x) * 3;
-      o[0] = acc[0] / wsum;
-      o[1] = acc[1] / wsum;
-      o[2] = acc[2] / wsum;
+    const int* yi = ty.idx.data() + y * 4;
+    const float* yw = ty.wgt.data() + y * 4;
+    float* orow = dst + static_cast<size_t>(y) * ow * 3;
+    const float* r0 = tmp.data() + static_cast<size_t>(yi[0]) * ow * 3;
+    const float* r1 = tmp.data() + static_cast<size_t>(yi[1]) * ow * 3;
+    const float* r2 = tmp.data() + static_cast<size_t>(yi[2]) * ow * 3;
+    const float* r3 = tmp.data() + static_cast<size_t>(yi[3]) * ow * 3;
+    const float w0 = yw[0], w1 = yw[1], w2 = yw[2], w3 = yw[3];
+    const int nn = ow * 3;
+    for (int i = 0; i < nn; ++i) {
+      orow[i] = w0 * r0[i] + w1 * r1[i] + w2 * r2[i] + w3 * r3[i];
     }
   }
 }
