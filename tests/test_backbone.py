@@ -118,3 +118,30 @@ def test_bpe_tokenizer_with_synthetic_merges(tmp_path):
     assert out[0, 0] == tok.encoder["<|startoftext|>"]
     assert tok.encoder["<|endoftext|>"] in out[0]
     np.testing.assert_array_equal(out, tok(["the and"]))
+
+
+def test_backbone_runtime_text_cache_and_bucketing():
+    from team_tpu.config import Config
+    from team_tpu.learners.backbone_runtime import BackboneRuntime
+
+    cfg = Config(extras={"tiny_backbone": True})
+    rt = BackboneRuntime(cfg)
+    texts = [f"a photo of species {i}" for i in range(37)]  # crosses bucket=32
+    f1 = np.asarray(rt.encode_texts(texts))
+    assert f1.shape == (37, rt.out_dim)
+    # cached second call is identical; mixed order + duplicates resolve from cache
+    f2 = np.asarray(rt.encode_texts(list(reversed(texts)) + texts[:3]))
+    np.testing.assert_allclose(f2[:37], f1[::-1], atol=1e-6)
+    # cache-off path agrees with cached path
+    f3 = np.asarray(rt.encode_texts(texts[:5], cache=False))
+    np.testing.assert_allclose(f3, f1[:5], atol=1e-5)
+
+
+def test_weight_import_npz_roundtrip(tmp_path):
+    from team_tpu.backbone.import_weights import load_state_dict
+
+    np.savez(tmp_path / "sd.npz", **{"visual.proj": np.ones((4, 2), np.float32),
+                                     "logit_scale": np.float32(1.5)})
+    sd = load_state_dict(str(tmp_path / "sd.npz"))
+    assert sd["visual.proj"].shape == (4, 2)
+    assert float(sd["logit_scale"]) == 1.5
