@@ -64,4 +64,9 @@ def multi_head_attention(
         impl = "pallas" if (on_tpu and q.shape[2] >= 512) else "xla"
     if impl == "pallas":
         return flash_attention(q, k, v, kv_len, causal=causal)
+    if impl == "mha_short":
+        from team_tpu.ops.mha_short import fused_mha_short
+
+        assert not causal, "mha_short kernel is non-causal (vision tower only)"
+        return fused_mha_short(q, k, v, kv_len)
     return _xla_attention(q, k, v, kv_len, causal=causal)

@@ -145,3 +145,18 @@ def test_weight_import_npz_roundtrip(tmp_path):
     sd = load_state_dict(str(tmp_path / "sd.npz"))
     assert sd["visual.proj"].shape == (4, 2)
     assert float(sd["logit_scale"]) == 1.5
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="fused MHA kernel runs on TPU")
+def test_fused_mha_short_matches_naive_on_tpu():
+    from team_tpu.ops.mha_short import fused_mha_short
+
+    rng = np.random.default_rng(3)
+    b, h, s, d = 2, 4, 50, 16
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    out = fused_mha_short(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), s)
+    ref = _naive_attention(q, k, v, causal=False, kv_len=s)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
