@@ -153,3 +153,15 @@ def test_host_shard_indices():
     merged = np.sort(np.concatenate(parts))
     np.testing.assert_array_equal(merged, np.arange(10))
     assert abs(len(parts[0]) - len(parts[2])) <= 1
+
+
+def test_proof_fix_mode_honors_config_knobs():
+    """parity_mode=False honors the reference's dead config keys: config
+    temperature/unicl weights are used and CE actually carries gradients."""
+    cfg = tiny_cfg("proof", parity_mode=False, temperature=0.05,
+                   unicl_instance_weight=0.6, unicl_category_weight=0.4,
+                   temporal_gcn_layers=3, tuned_epoch=2)
+    res = train(cfg)
+    assert len(res["cnn_top1"]) == 3
+    for acc in res["cnn_top1"]:
+        assert 0.0 <= acc <= 100.0
