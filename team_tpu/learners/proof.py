@@ -17,7 +17,7 @@ double ``evolve_and_update`` per epoch via ``update_state_distance_matrix``,
 from __future__ import annotations
 
 import logging
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,7 +71,6 @@ class Learner(BaseLearner):
             update_interval=cfg.update_state_distance_interval,
             decay_factor=cfg.state_distance_decay_factor,
         )
-        self._test_feature_cache: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
 
     # ------------------------------------------------------------------
     @property

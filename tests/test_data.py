@@ -173,3 +173,15 @@ def test_manager_split_and_flip_and_rmm(rng):
     # stage-aware prompt builder (reference data_manager.py:219-234)
     prompt = dm.get_stage_prompt(0, 4)
     assert dm._class_to_label[0] in prompt
+
+
+def test_device_preprocess_upscale_close_to_pil(rng):
+    """jax.image bicubic upscale tracks the PIL pipeline (same Keys kernel)."""
+    import jax.numpy as jnp
+
+    from team_tpu.ops.preprocess import preprocess_batch
+
+    u8 = rng.integers(0, 255, (2, 16, 16, 3), dtype=np.uint8)
+    out = np.asarray(preprocess_batch(jnp.asarray(u8), image_size=32))
+    ref = np.stack([clip_transform(Image.fromarray(u8[i]), 32) for i in range(2)])
+    assert np.abs(out - ref).mean() < 0.08  # same filter family, minor boundary diffs
