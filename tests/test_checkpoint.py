@@ -42,3 +42,13 @@ def test_checkpoint_save_and_resume(tmp_path):
     res_partial = train(_cfg(tmp, resume=True))
     assert len(res_partial["cnn_top1"]) == 3
     np.testing.assert_allclose(res_partial["cnn_top1"][0], res_full["cnn_top1"][0])
+
+
+def test_checkpoint_simplecil(tmp_path):
+    cfg = _cfg(str(tmp_path))
+    cfg.model_name = "simplecil"
+    res = train(cfg)
+    cfg2 = _cfg(str(tmp_path), resume=True)
+    cfg2.model_name = "simplecil"
+    res2 = train(cfg2)
+    np.testing.assert_allclose(res2["cnn_top1"], res["cnn_top1"])

@@ -121,3 +121,23 @@ def test_train_step_grads_zero_for_ce_only_path(rng):
     g = jax.grad(ce_only)(tr)
     for leaf in jax.tree_util.tree_leaves(g):
         assert float(jnp.abs(leaf).max()) == 0.0
+
+
+def test_train_step_no_retrace_across_tasks(rng):
+    """One compiled step serves every task: different masks/contexts must not
+    trigger retracing (the whole point of the preallocated banks)."""
+    dims, tr, aux, ctx, buffers, batch = _setup(rng)
+    cfg = Config(tuned_epoch=4, optimizer="adam", init_lr=0.01, max_classes=6,
+                 max_tasks=3, context_prompt_length_per_task=2)
+    tx = make_optimizer(cfg)
+    step = build_train_step(cfg, dims, tx)
+    opt_state = tx.init(tr)
+    tr1, opt1, _ = step(tr, opt_state, batch, ctx, buffers, jax.random.PRNGKey(0), jnp.asarray(0))
+    # simulate the next task: different masks, same shapes
+    ctx2 = ctx._replace(
+        task_mask=jnp.asarray([1.0, 1.0, 1.0]),
+        cur_onehot=jnp.asarray([0.0, 0.0, 1.0]),
+        class_mask=jnp.asarray([1, 1, 1, 1, 1, 1], jnp.float32),
+    )
+    step(tr1, opt1, batch, ctx2, buffers, jax.random.PRNGKey(1), jnp.asarray(1))
+    assert step._cache_size() == 1
