@@ -267,23 +267,32 @@ class Learner(BaseLearner):
             correct = total = 0
             epoch_arr = jnp.asarray(epoch)
 
-            k = n // self.batch_size  # full batches -> one scanned dispatch
+            k = n // self.batch_size  # full batches -> scanned dispatches
             if self._mesh_ctx is None and k > 0:
-                bidx = order[: k * self.batch_size].reshape(k, self.batch_size)
-                batches = {
-                    "feat": jnp.asarray(feats[bidx]),
-                    "label": jnp.asarray(labels[bidx].astype(np.int32)),
-                    "stage_id": jnp.asarray(stages[bidx].astype(np.int32)),
-                }
-                self._rng, sub = _split(self._rng)
-                rngs = jax.random.split(sub, k)
-                self.trainable, opt_state, tot = self._epoch_runner(
-                    self.trainable, opt_state, batches, self.ctx, self.buffers,
-                    rngs, epoch_arr,
-                )
-                losses += float(tot.total_loss)
-                unicl_losses += float(tot.unicl_loss)
-                correct += int(tot.correct)
+                # decompose k into power-of-two chunks so the epoch runner only
+                # ever compiles log2(K) distinct scan lengths, reused across all
+                # tasks (per-task K varies as the dataset grows; each remote
+                # compile costs minutes on this environment)
+                offset = 0
+                for chunk in _pow2_chunks(k):
+                    rows = order[offset * self.batch_size:
+                                 (offset + chunk) * self.batch_size]
+                    bidx = rows.reshape(chunk, self.batch_size)
+                    batches = {
+                        "feat": jnp.asarray(feats[bidx]),
+                        "label": jnp.asarray(labels[bidx].astype(np.int32)),
+                        "stage_id": jnp.asarray(stages[bidx].astype(np.int32)),
+                    }
+                    self._rng, sub = _split(self._rng)
+                    rngs = jax.random.split(sub, chunk)
+                    self.trainable, opt_state, tot = self._epoch_runner(
+                        self.trainable, opt_state, batches, self.ctx, self.buffers,
+                        rngs, epoch_arr,
+                    )
+                    losses += float(tot.total_loss)
+                    unicl_losses += float(tot.unicl_loss)
+                    correct += int(tot.correct)
+                    offset += chunk
                 total += k * self.batch_size
                 rest = range(k * self.batch_size, n, self.batch_size)
             else:
@@ -425,11 +434,14 @@ class Learner(BaseLearner):
         n = len(labels)
         k = n // EVAL_BATCH
         correct = 0
-        if k > 0:  # full eval batches in one scanned dispatch
-            fb = feats[: k * EVAL_BATCH].reshape(k, EVAL_BATCH, -1)
-            lb = labels[: k * EVAL_BATCH].reshape(k, EVAL_BATCH).astype(np.int32)
-            correct += int(eval_correct_scan(self.trainable, jnp.asarray(fb),
-                                             jnp.asarray(lb), self.ctx))
+        offset = 0
+        for chunk in (_pow2_chunks(k) if k > 0 else []):
+            fb = feats[offset * EVAL_BATCH: (offset + chunk) * EVAL_BATCH]
+            lb = labels[offset * EVAL_BATCH: (offset + chunk) * EVAL_BATCH]
+            correct += int(eval_correct_scan(
+                self.trainable, jnp.asarray(fb.reshape(chunk, EVAL_BATCH, -1)),
+                jnp.asarray(lb.reshape(chunk, EVAL_BATCH).astype(np.int32)), self.ctx))
+            offset += chunk
         for start in range(k * EVAL_BATCH, n, EVAL_BATCH):
             f = jnp.asarray(feats[start : start + EVAL_BATCH])
             logits = eval_logits(self.trainable, f, self.ctx)
@@ -475,6 +487,19 @@ class Learner(BaseLearner):
 def _split(key):
     k1, k2 = jax.random.split(key)
     return k1, k2
+
+
+def _pow2_chunks(k: int):
+    """Decompose k into descending powers of two (11 -> [8, 2, 1]): bounds the
+    set of compiled scan lengths to log2(K_max) across the whole run."""
+    out = []
+    p = 1 << (k.bit_length() - 1) if k > 0 else 0
+    while k > 0:
+        while p > k:
+            p >>= 1
+        out.append(p)
+        k -= p
+    return out
 
 
 @jax.jit
