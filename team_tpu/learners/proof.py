@@ -414,6 +414,35 @@ class Learner(BaseLearner):
         _ = self.state_distance.get_distance_matrix()
         return True
 
+    def _eval_zero_shot(self):
+        """Zero-shot eval with the full-test-set backbone features cached once
+        across ALL tasks (frozen towers; only the projections change per task).
+        Math identical to the base implementation."""
+        total = self.data_manager.get_total_classnum()
+        if getattr(self, "_zs_feats", None) is None:
+            ds = self.data_manager.get_dataset(np.arange(0, total), source="test", mode="test")
+            loader = self._loader(ds, batch_size=EVAL_BATCH)
+            feats, labels = [], []
+            for batch in loader:
+                v = int(batch.get("valid", len(batch["label"])))
+                f = self.backbone.encode_image(jnp.asarray(batch["image"]))
+                feats.append(np.asarray(f)[:v])
+                labels.append(batch["label"][:v])
+            self._zs_feats = (np.concatenate(feats), np.concatenate(labels))
+
+        text_features = self._zero_shot_text_features()
+        feats, labels = self._zs_feats
+        y_pred = []
+        for start in range(0, len(labels), EVAL_BATCH):
+            img = _project_image_jit(self.trainable,
+                                     jnp.asarray(feats[start : start + EVAL_BATCH]), self.ctx)
+            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+            logits = img @ text_features.T
+            k = min(self.topk, logits.shape[1])
+            preds = np.asarray(jax.lax.top_k(logits, k)[1])
+            y_pred.append(preds)
+        return np.concatenate(y_pred), labels
+
     def _visualize_evolution_paths(self) -> None:
         if not self.cfg.enable_plots:
             return
