@@ -185,3 +185,23 @@ def test_device_preprocess_upscale_close_to_pil(rng):
     out = np.asarray(preprocess_batch(jnp.asarray(u8), image_size=32))
     ref = np.stack([clip_transform(Image.fromarray(u8[i]), 32) for i in range(2)])
     assert np.abs(out - ref).mean() < 0.08  # same filter family, minor boundary diffs
+
+
+def test_loader_native_fast_path(tmp_path, rng):
+    from team_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native team_io not built")
+    root = _write_nested_dataset(str(tmp_path), rng, per_stage=4)
+    dm = DataManager("iiminsects202", shuffle=False, seed=0, init_cls=2, increment=1,
+                     data_root=root)
+    ds = dm.get_multimodal_dataset(np.arange(0, 2), source="train", mode="train")
+    nat = ArrayLoader(ds, batch_size=8, image_size=64, prefetch=0, use_native=True)
+    assert nat._native
+    pil = ArrayLoader(ds, batch_size=8, image_size=64, prefetch=0, use_native=False)
+    bn = next(iter(nat))
+    bp = next(iter(pil))
+    assert bn["image"].shape == bp["image"].shape == (8, 64, 64, 3)
+    np.testing.assert_array_equal(bn["label"], bp["label"])
+    # same decoded content within resize-filter tolerance
+    assert np.abs(bn["image"] - bp["image"]).mean() < 0.15
