@@ -106,8 +106,21 @@ class ArrayLoader:
             # fall through to the PIL path on any decode failure
         rngs = [np.random.default_rng(rng.integers(0, 2 ** 31)) for _ in idxs] if rng else [None] * len(idxs)
 
+        deterministic_clip = (
+            self.dataset.mode == "test"
+            or (self.dataset.mode == "train" and self.dataset.deterministic_train
+                and not self.augment_ops)
+        )
+
         def work(args):
             item, r = args
+            if (deterministic_clip and isinstance(item, np.ndarray)
+                    and item.shape[:2] == (self.image_size, self.image_size)):
+                # array already at target size: the PIL same-size bicubic resize
+                # is the identity, so normalize directly (single-core host win)
+                from team_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+                return (item.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
             return self._transform(_load_image(item), r)
 
         imgs = list(pool.map(work, zip(items, rngs)))
