@@ -77,13 +77,16 @@ class StateDistanceMatrix:
 
         NOTE: the reference defines but never invokes this path (SURVEY.md §5
         quirk 8); it is provided as a capability, gated by ``update_interval``.
+        Returns the PRE-update symmetrized matrix, exactly like the reference
+        ``forward`` (``:86,144`` — ``current_matrix`` is computed first).
         """
+        current = self.get_distance_matrix()
         if self.update_counter % self.update_interval == 0:
             self.distance_factors = ema_update(
                 self.distance_factors, state_features, state_ids, self.decay_factor, self.num_states
             )
         self.update_counter += 1
-        return self.get_distance_matrix()
+        return current
 
 
 @jax.jit
@@ -107,7 +110,13 @@ def ema_update(dist: jax.Array, state_features: jax.Array, state_ids: jax.Array,
                decay: float, num_states: int = 10) -> jax.Array:
     """Vectorized batch-centroid EMA (reference ``state_distance.py:95-137``):
     centroids for states 1..num_states-1 present in the batch, cosine-similarity
-    distance ``2 - sim`` , EMA with ``decay``."""
+    distance ``2 - sim``, EMA with ``decay``.
+
+    The reference's nested loop over (i, j) pairs writes BOTH ``[s_i, s_j]``
+    and ``[s_j, s_i]`` at every iteration and reads the just-updated value on
+    the reverse-order pass, so every present off-diagonal pair receives the EMA
+    step twice: effective ``decay²·old + (1 − decay²)·new`` (torch-executed
+    golden in ``tests/test_reference_parity.py``)."""
     onehot = jax.nn.one_hot(state_ids, num_states, dtype=state_features.dtype)  # [B, S]
     counts = onehot.sum(0)  # [S]
     present = counts > 0
@@ -117,5 +126,6 @@ def ema_update(dist: jax.Array, state_features: jax.Array, state_ids: jax.Array,
     sim = cn @ cn.T
     new_d = 2.0 - sim
     pair = (present[:, None] & present[None, :]) & ~jnp.eye(num_states, dtype=bool)
-    ema = decay * dist + (1 - decay) * new_d
+    d2 = decay * decay
+    ema = d2 * dist + (1 - d2) * new_d
     return jnp.where(pair, ema, dist)
