@@ -101,7 +101,8 @@ def bench(fn, xs, w, label, rounds: int = 3):
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
-    n_inputs = max(4, min(32, 2 ** 34 // (M * K)))  # cap device bytes ~16 GB
+    # cap live device bytes (inputs + int32 outputs + bf16 copies) ~6 GB
+    n_inputs = max(4, min(32, 6 * 2 ** 30 // (M * K + M * N * 4 + M * K * 2)))
     xs_i8 = [jnp.asarray(rng.integers(-127, 128, (M, K), dtype=np.int8))
              for _ in range(n_inputs)]
     w_i8 = jnp.asarray(rng.integers(-127, 128, (K, N), dtype=np.int8))

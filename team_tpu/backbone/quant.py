@@ -1,0 +1,112 @@
+"""int8-quantized CLIP ViT image tower (inference path).
+
+The backbone is FROZEN in every learner (reference ``models/proof.py:353-356``),
+so its weights can be quantized once, offline: per-output-channel int8 for the
+four GEMM weights of every transformer block (qkv / attn-out / mlp-fc /
+mlp-proj — ≈66 ms of the 113 ms bf16 encode at B=256), with dynamic per-token
+activation quantization. LayerNorms, the softmax-bound attention core, patch
+embedding, and the final projection stay in bf16/f32 — they are VPU/HBM-bound,
+not MXU-bound, and keeping them high-precision protects the cosine-similarity
+gate (>= 0.999 vs the bf16 tower, tests + docs/BENCH.md).
+
+GEMMs run on :func:`team_tpu.ops.int8_matmul.int8_linear` — the Pallas kernel
+that reaches the MXU's native int8 mode XLA won't emit (2x the bf16 MXU rate;
+replaces the reference's cuBLAS tier, ``utils/inc_net.py:19-32``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from team_tpu.backbone.clip import CLIPConfig, Params, _layer_norm, embed_patches
+from team_tpu.ops.attention import multi_head_attention
+from team_tpu.ops.int8_matmul import int8_linear, quantize_rows, quantize_weight
+
+
+def quantize_block(blk: Params) -> Dict[str, Any]:
+    """Quantize one transformer block's GEMM weights (per-output-channel)."""
+    out = {"ln_1": blk["ln_1"], "ln_2": blk["ln_2"]}
+    for src, dst in (("qkv", "qkv"), ("out", "out")):
+        w, s = quantize_weight(blk["attn"][f"{src}_w"])
+        out[dst] = {"w_q": w, "scale": s, "b": blk["attn"][f"{src}_b"].astype(jnp.float32)}
+    for src in ("fc", "proj"):
+        w, s = quantize_weight(blk["mlp"][f"{src}_w"])
+        out[src] = {"w_q": w, "scale": s, "b": blk["mlp"][f"{src}_b"].astype(jnp.float32)}
+    return out
+
+
+def quantize_vision_tower(params: Params) -> Dict[str, Any]:
+    """Offline weight quantization of the image tower. Non-GEMM params pass
+    through in full precision."""
+    v = params["vision"]
+    return {
+        "patch_w": v["patch_w"],
+        "cls": v["cls"],
+        "pos": v["pos"],
+        "ln_pre": v["ln_pre"],
+        "blocks": [quantize_block(b) for b in v["blocks"]],
+        "ln_post": v["ln_post"],
+        "proj": v["proj"],
+    }
+
+
+def _qlinear(x2d: jax.Array, qp: Dict[str, Any], activation=None, interpret=False):
+    x_q, x_scale = quantize_rows(x2d)
+    return int8_linear(x_q, qp["w_q"], x_scale, qp["scale"], qp["b"],
+                       activation=activation, interpret=interpret)
+
+
+def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
+                    *, attn_impl: str, interpret: bool) -> jax.Array:
+    b, s, d = x.shape
+    dh = d // heads
+    h = _layer_norm(qb["ln_1"], x)
+    qkv = _qlinear(h.reshape(b * s, d), qb["qkv"], interpret=interpret).reshape(b, s, 3 * d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+    o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
+                             kv_len, causal=False, impl=attn_impl)
+    o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+    x = x + _qlinear(o, qb["out"], interpret=interpret).reshape(b, s, d)
+    h = _layer_norm(qb["ln_2"], x)
+    h = _qlinear(h.reshape(b * s, d), qb["fc"], activation="gelu",
+                 interpret=interpret)
+    x = x + _qlinear(h, qb["proj"], interpret=interpret).reshape(b, s, d)
+    return x
+
+
+def encode_image_int8(
+    qvision: Dict[str, Any],
+    images: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    attn_impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Quantized image tower: ``[B, H, W, 3]`` -> ``[B, embed_dim]`` f32.
+
+    Same structure as :func:`team_tpu.backbone.clip.encode_image`; GEMMs in
+    int8, everything else bf16/f32."""
+    v = cfg.vision
+    compute_dtype = jnp.bfloat16
+    # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
+    # normalized with per-channel CLIP stats — row quantization would be fine,
+    # but this keeps the first-layer numerics bit-comparable)
+    fake = {"vision": {"patch_w": qvision["patch_w"]}}
+    tokens = embed_patches(fake, images, cfg, compute_dtype=compute_dtype)
+    b = tokens.shape[0]
+    cls = jnp.broadcast_to(qvision["cls"].astype(compute_dtype), (b, 1, v.width))
+    x = jnp.concatenate([cls, tokens], axis=1)
+    x = x + qvision["pos"].astype(compute_dtype)
+    x = _layer_norm(qvision["ln_pre"], x)
+    for qb in qvision["blocks"]:
+        x = _qblock_forward(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
+                            interpret=interpret)
+    x = _layer_norm(qvision["ln_post"], x[:, 0])
+    return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)

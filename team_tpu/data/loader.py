@@ -39,11 +39,15 @@ class ArrayLoader:
     def __init__(self, dataset: TeamDataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 8, image_size: int = 224,
                  prefetch: int = 2, drop_last: bool = False, use_native: bool = False,
-                 augment_ops=None, pad_last: bool = False):
+                 augment_ops=None, pad_last: bool = False,
+                 indices: Optional[np.ndarray] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        # optional row restriction (e.g. per-host shard for multi-host feature
+        # extraction, team_tpu.parallel.mesh.host_shard_indices)
+        self.indices = None if indices is None else np.asarray(indices)
         self.num_threads = num_threads
         self.image_size = image_size
         self.prefetch = prefetch
@@ -65,7 +69,7 @@ class ArrayLoader:
             self._native = native_io.available()
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) if self.indices is None else len(self.indices)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -133,12 +137,11 @@ class ArrayLoader:
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset)) if self.indices is None else self.indices
         rng = None
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
-            order = rng.permutation(n)
+            order = rng.permutation(order)
         self._epoch += 1
         nb = len(self)
 

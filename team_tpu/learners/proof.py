@@ -233,7 +233,15 @@ class Learner(BaseLearner):
         )
 
     def _dataset_features(self, ds, normalize: bool = False):
-        loader = self._loader(ds, batch_size=EVAL_BATCH)
+        # multi-host: each process encodes only its deterministic interleaved
+        # shard (backbone encode dominates per-task cost), then the shards are
+        # all-gathered back into global order on every host
+        rows = None
+        if jax.process_count() > 1:
+            from team_tpu.parallel.mesh import host_shard_indices
+
+            rows = host_shard_indices(len(ds))
+        loader = self._loader(ds, batch_size=EVAL_BATCH, indices=rows)
         feats, labels, stages = [], [], []
         for batch in loader:
             v = int(batch.get("valid", len(batch["label"])))
@@ -243,7 +251,17 @@ class Learner(BaseLearner):
             feats.append(np.asarray(f)[:v])
             labels.append(batch["label"][:v])
             stages.append(batch["stage_id"][:v])
-        return np.concatenate(feats), np.concatenate(labels), np.concatenate(stages)
+        feats = np.concatenate(feats)
+        labels = np.concatenate(labels)
+        stages = np.concatenate(stages)
+        if rows is not None:
+            from team_tpu.parallel.mesh import allgather_host_shards
+
+            n = len(ds)
+            feats = allgather_host_shards(feats, n)
+            labels = allgather_host_shards(labels, n)
+            stages = allgather_host_shards(stages, n)
+        return feats, labels, stages
 
     # ------------------------------------------------------------------
     def _train_proj_with_replay(self) -> None:
@@ -256,6 +274,19 @@ class Learner(BaseLearner):
         # pre-training integration (reference proof.py:394) — no-op, documented
         self.integrate_with_state_distance()
 
+        # ONE path for single-device and data-parallel training: every epoch is
+        # lax.scan'd over [K, B] stacked batches; the last batch is PADDED (rows
+        # repeat index 0) and masked via ``valid_mask`` — losses/stats over a
+        # padded batch equal the unpadded ones exactly, so DP and single-device
+        # runs consume identical data (no remainder trimming). Power-of-two
+        # chunking bounds compiled scan lengths to log2(K_max) across the run.
+        bs = self.batch_size
+        bs_eff = bs
+        if self._mesh_ctx is not None:
+            nd = self._mesh_ctx.n_data
+            bs_eff = -(-bs // nd) * nd  # batch dim must split over the data axis
+        k_full = max(1, -(-n // bs))
+
         for epoch in range(self.tuned_epoch):
             # per-epoch cosine LR (scheduler stepped per epoch, proof.py:363,452);
             # keep the dtype stable so the jitted step never retraces
@@ -264,74 +295,42 @@ class Learner(BaseLearner):
             )
             order = shuffle_rng.permutation(n)
             losses = unicl_losses = 0.0
-            correct = total = 0
+            correct = 0
             epoch_arr = jnp.asarray(epoch)
 
-            k = n // self.batch_size  # full batches -> scanned dispatches
-            if self._mesh_ctx is None and k > 0:
-                # decompose k into power-of-two chunks so the epoch runner only
-                # ever compiles log2(K) distinct scan lengths, reused across all
-                # tasks (per-task K varies as the dataset grows; each remote
-                # compile costs minutes on this environment)
-                offset = 0
-                for chunk in _pow2_chunks(k):
-                    rows = order[offset * self.batch_size:
-                                 (offset + chunk) * self.batch_size]
-                    bidx = rows.reshape(chunk, self.batch_size)
-                    batches = {
-                        "feat": jnp.asarray(feats[bidx]),
-                        "label": jnp.asarray(labels[bidx].astype(np.int32)),
-                        "stage_id": jnp.asarray(stages[bidx].astype(np.int32)),
-                    }
-                    self._rng, sub = _split(self._rng)
-                    rngs = jax.random.split(sub, chunk)
-                    self.trainable, opt_state, tot = self._epoch_runner(
-                        self.trainable, opt_state, batches, self.ctx, self.buffers,
-                        rngs, epoch_arr,
-                    )
-                    losses += float(tot.total_loss)
-                    unicl_losses += float(tot.unicl_loss)
-                    correct += int(tot.correct)
-                    offset += chunk
-                total += k * self.batch_size
-                rest = range(k * self.batch_size, n, self.batch_size)
-            else:
-                rest = range(0, n, self.batch_size)
+            pad = k_full * bs - n
+            rows = np.concatenate([order, np.zeros(pad, dtype=order.dtype)])
+            vmask = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+            bidx = rows.reshape(k_full, bs)
+            vms = vmask.reshape(k_full, bs)
+            if bs_eff != bs:  # pad the batch dim for the mesh split, masked
+                bidx = np.pad(bidx, ((0, 0), (0, bs_eff - bs)))
+                vms = np.pad(vms, ((0, 0), (0, bs_eff - bs)))
 
-            for start in rest:
-                idx = order[start : start + self.batch_size]
-                if self._mesh_ctx is not None:
-                    # data-parallel mode: shard over the data axis (trim any
-                    # non-divisible remainder, standard DP practice)
-                    rem = len(idx) % self._mesh_ctx.n_data
-                    if rem:
-                        idx = idx[: len(idx) - rem]
-                    if len(idx) == 0:
-                        continue
-                    batch, _ = self._mesh_ctx.shard_batch({
-                        "feat": feats[idx],
-                        "label": labels[idx].astype(np.int32),
-                        "stage_id": stages[idx].astype(np.int32),
-                    })
-                else:
-                    batch = {
-                        "feat": jnp.asarray(feats[idx]),
-                        "label": jnp.asarray(labels[idx].astype(np.int32)),
-                        "stage_id": jnp.asarray(stages[idx].astype(np.int32)),
-                    }
-                step_rng, self._rng = _split(self._rng)
-                self.trainable, opt_state, stats = self._train_step(
-                    self.trainable, opt_state, batch, self.ctx, self.buffers,
-                    step_rng, epoch_arr,
+            offset = 0
+            for chunk in _pow2_chunks(k_full):
+                sl = slice(offset, offset + chunk)
+                batches = self._put_stacked({
+                    "feat": feats[bidx[sl]],
+                    "label": labels[bidx[sl]].astype(np.int32),
+                    "stage_id": stages[bidx[sl]].astype(np.int32),
+                    "valid_mask": vms[sl],
+                })
+                self._rng, sub = _split(self._rng)
+                rngs = jax.random.split(sub, chunk)
+                self.trainable, opt_state, tot = self._epoch_runner(
+                    self.trainable, opt_state, batches, self.ctx, self.buffers,
+                    rngs, epoch_arr,
                 )
-                losses += float(stats.total_loss)
-                unicl_losses += float(stats.unicl_loss)
-                correct += int(stats.correct)
-                total += len(idx)
+                losses += float(tot.total_loss)
+                unicl_losses += float(tot.unicl_loss)
+                correct += int(tot.correct)
+                offset += chunk
+            total = n
 
             train_acc = np.around(correct * 100 / total, 2)
             test_acc = self._compute_accuracy()
-            nb = -(-n // self.batch_size)
+            nb = k_full
             logging.info(
                 "Task %d, Epoch %d/%d => Loss %.3f, UniCL %.3f, Train_acc %.2f, Test_acc %.2f",
                 self._cur_task, epoch + 1, self.tuned_epoch,
@@ -362,6 +361,14 @@ class Learner(BaseLearner):
         # post-training integration (reference proof.py:516-517)
         self.integrate_with_state_distance()
         self.evolve_state_prototypes()
+
+    def _put_stacked(self, tree):
+        """Device-put stacked [K, B, ...] epoch batches; under a mesh the batch
+        dim is sharded over the data axis (replaces reference nn.DataParallel
+        scatter, proof.py:312-313)."""
+        if self._mesh_ctx is not None:
+            return self._mesh_ctx.shard_stacked(tree)
+        return {k: jnp.asarray(v) for k, v in tree.items()}
 
     # ------------------------------------------------------------------
     def evolve_state_prototypes(self):

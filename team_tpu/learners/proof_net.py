@@ -295,6 +295,9 @@ def proof_loss(
     basic_img = batch["feat"]            # [B, D] frozen-backbone image features
     targets = batch["label"]
     state_ids = batch["stage_id"]
+    # pad-don't-drop: optional [B] row validity (1 = real sample). Every term
+    # masks padded rows, so a padded batch's loss/grads equal the unpadded ones.
+    vm = batch.get("valid_mask")
     basic_txt = ctx.class_text_basic[targets]  # per-sample prompt features
 
     # 1) classification branch — no_grad in the reference (proof.py:415-418)
@@ -302,7 +305,11 @@ def proof_loss(
     if parity_no_grad_ce:
         logits = jax.lax.stop_gradient(logits)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ce = -jnp.mean(jnp.take_along_axis(logp, targets[:, None], axis=1))
+    per_row_ce = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
+    if vm is None:
+        ce = jnp.mean(per_row_ce)
+    else:
+        ce = jnp.sum(per_row_ce * vm) / jnp.maximum(jnp.sum(vm), 1.0)
 
     # 2) tri-modal contrastive branch
     img_f, txt_f, st_f, _, logit_scale = tri_modal_forward(
@@ -313,7 +320,8 @@ def proof_loss(
     # 3) CLIP loss on pre-attention projected features (proof.py:428-431)
     img_norm = _normalize(project_image(tr, basic_img, ctx))
     txt_norm = _normalize(project_text(tr, basic_txt, ctx))
-    clip_val = clip_loss(img_norm, txt_norm, logit_scale, axis_name=clip_axis)
+    clip_val = clip_loss(img_norm, txt_norm, logit_scale, axis_name=clip_axis,
+                         valid_mask=vm)
 
     # 4) UniCL tri-modal loss on post-attention features (proof.py:434-441)
     unicl_val, _ = unicl_loss(
@@ -323,11 +331,13 @@ def proof_loss(
         evolution_valid=buffers.evolution_valid,
         num_states=num_states,
         instance_weight=instance_weight, category_weight=category_weight,
+        valid_mask=vm,
     )
 
     total = ce + clip_val + unicl_weight * unicl_val
     preds = jnp.argmax(logits, axis=1)
-    stats = StepStats(total, ce, clip_val, unicl_val, jnp.sum(preds == targets))
+    hits = (preds == targets) if vm is None else (preds == targets) * (vm > 0)
+    stats = StepStats(total, ce, clip_val, unicl_val, jnp.sum(hits))
     return total, stats
 
 

@@ -16,9 +16,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _xent(logits: jax.Array, labels: jax.Array) -> jax.Array:
+NEG_INF = -1e30  # finite: exp underflows to exactly 0, no inf*0 NaNs in grads
+
+
+def _xent(logits: jax.Array, labels: jax.Array,
+          valid_mask: Optional[jax.Array] = None) -> jax.Array:
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    per_row = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    if valid_mask is None:
+        return jnp.mean(per_row)
+    return jnp.sum(per_row * valid_mask) / jnp.maximum(jnp.sum(valid_mask), 1.0)
 
 
 def clip_loss(
@@ -28,19 +35,29 @@ def clip_loss(
     *,
     axis_name: Optional[str] = None,
     local_loss: bool = False,
+    valid_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``(CE(img→txt) + CE(txt→img)) / 2`` on L2-normalized features.
 
     ``axis_name``: name of the data-parallel mesh axis to all-gather the
     contrastive batch over (None = single-shard, matching the reference's
     ``world_size == 1`` path).
+
+    ``valid_mask`` (``[B]`` float, 1 = real row): pad-don't-drop support — padded
+    rows are excluded from the row means AND masked out of the negative sets, so
+    the loss over a padded batch equals the loss over the unpadded batch exactly.
     """
     n = image_features.shape[0]
     if axis_name is None:
         labels = jnp.arange(n)
         logits_per_image = logit_scale * image_features @ text_features.T
         logits_per_text = logit_scale * text_features @ image_features.T
-        return (_xent(logits_per_image, labels) + _xent(logits_per_text, labels)) / 2.0
+        if valid_mask is not None:
+            col = jnp.where(valid_mask[None, :] > 0, 0.0, NEG_INF)
+            logits_per_image = logits_per_image + col
+            logits_per_text = logits_per_text + col
+        return (_xent(logits_per_image, labels, valid_mask)
+                + _xent(logits_per_text, labels, valid_mask)) / 2.0
 
     all_img = jax.lax.all_gather(image_features, axis_name, tiled=True)
     all_txt = jax.lax.all_gather(text_features, axis_name, tiled=True)

@@ -52,9 +52,13 @@ def _enhance_state_features(
     evolution_embeddings: jax.Array,  # [C, D]
     evolution_valid: jax.Array,  # [C] bool
     num_states: int,
+    valid_mask: Optional[jax.Array] = None,  # [B] float, 1 = real row
 ) -> jax.Array:
     b = state_features.shape[0]
     same = (labels[:, None] == labels[None, :])
+    if valid_mask is not None:
+        vm = valid_mask > 0
+        same = same & vm[:, None] & vm[None, :]  # padded rows are absent
     n_same = jnp.sum(same, axis=1)  # includes self
     valid_evo = evolution_valid[labels]
     evo = evolution_embeddings[labels]  # [B, D]
@@ -101,8 +105,14 @@ def unicl_loss(
     num_states: int = 10,
     instance_weight: float = 1.0,
     category_weight: float = 0.5,
+    valid_mask: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, dict]:
-    """Returns ``(total_loss, {'instance_loss', 'category_loss', 'temperature'})``."""
+    """Returns ``(total_loss, {'instance_loss', 'category_loss', 'temperature'})``.
+
+    ``valid_mask`` (``[B]`` float, 1 = real row) enables pad-don't-drop batches:
+    padded rows are excluded from every term (instance mean, category positives,
+    negatives, and the evolution enhancement's same-class sets), so the loss over
+    a padded batch equals the loss over the unpadded rows exactly."""
     b = image_features.shape[0]
     if b < 2:
         zero = jnp.asarray(0.0)
@@ -115,9 +125,11 @@ def unicl_loss(
 
     if evolution_embeddings is not None and evolution_valid is not None:
         st = _enhance_state_features(st, labels, state_ids, evolution_embeddings,
-                                     evolution_valid, num_states)
+                                     evolution_valid, num_states, valid_mask)
 
     temp = dynamic_temperature(temperature, epoch, max_epoch)
+    vm = jnp.ones((b,)) if valid_mask is None else valid_mask.astype(jnp.float32)
+    n_valid_rows = jnp.maximum(jnp.sum(vm), 1.0)
 
     # -------- instance-level: per-sample 3x3 (img/text/state) --------
     tri = jnp.stack([img, txt, st], axis=1)                      # [B, 3, D]
@@ -125,24 +137,31 @@ def unicl_loss(
     eye3 = jnp.eye(3)
     pos_sum = jnp.sum(jnp.exp(sim * (1.0 - eye3)), axis=2)       # exp(0)=1 at self
     all_sum = jnp.sum(jnp.exp(sim), axis=2)
-    instance_loss = -jnp.sum(jnp.log(pos_sum / (all_sum + 1e-8))) / (3 * b)
+    row_terms = jnp.sum(jnp.log(pos_sum / (all_sum + 1e-8)), axis=1)  # [B]
+    instance_loss = -jnp.sum(row_terms * vm) / (3 * n_valid_rows)
 
     # -------- category-level: image-image supervised contrastive --------
     labels_matrix = (labels[:, None] == labels[None, :]).astype(jnp.float32)
-    self_mask = 1.0 - jnp.eye(b)
+    self_mask = (1.0 - jnp.eye(b)) * vm[None, :]
     labels_matrix = labels_matrix * self_mask
     ii = (img @ img.T) / temp
     row_max = jnp.max(ii, axis=1, keepdims=True)
     ex = jnp.exp(ii - row_max)
     pos = jnp.sum(ex * labels_matrix, axis=1)
     alln = jnp.sum(ex * self_mask, axis=1)
-    valid = (pos > 0) & (alln > 0)
+    valid = (pos > 0) & (alln > 0) & (vm > 0)
     # double-where: log(0) on invalid rows would poison gradients (0·inf = NaN)
     pos_safe = jnp.where(valid, pos, 1.0)
     alln_safe = jnp.where(valid, alln, 1.0)
     row_loss = jnp.where(valid, -jnp.log(pos_safe / (alln_safe + 1e-8)), 0.0)
     n_valid = jnp.sum(valid)
     category_loss = jnp.where(n_valid > 0, jnp.sum(row_loss) / jnp.maximum(n_valid, 1), 0.0)
+
+    # reference returns 0 for batch_size == 1 (``:41-44``); with padded batches
+    # that is a *dynamic* condition on the valid-row count
+    few = jnp.sum(vm) < 2
+    instance_loss = jnp.where(few, 0.0, instance_loss)
+    category_loss = jnp.where(few, 0.0, category_loss)
 
     total = instance_weight * instance_loss + category_weight * category_loss
     # NaN guard chain (reference ``:178-185``)

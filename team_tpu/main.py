@@ -7,6 +7,14 @@ experiment file (JSON wins — ``args.update(param)`` semantics).
 from __future__ import annotations
 
 import argparse
+import os
+
+if os.environ.get("TEAM_PLATFORM"):
+    # the axon TPU plugin ignores JAX_PLATFORMS; jax.config wins (CLAUDE.md).
+    # TEAM_PLATFORM=cpu enables host-only smoke runs / virtual-device meshes.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["TEAM_PLATFORM"])
 
 from team_tpu.config import load_config
 from team_tpu.trainer import train

@@ -4,8 +4,12 @@ TPU-native replacement for the attention FLOPs the reference inherits from
 open_clip's CUDA kernels (reference ``utils/inc_net.py:19-32``; every
 ``encode_image`` / ``encode_text`` call). Forward-only is the hot path: the CLIP
 backbone is frozen during PROOF training (reference ``models/proof.py:353-356``),
-so the image/text towers never need an attention backward. A custom-VJP XLA
-fallback covers the (rare) differentiable uses.
+so the towers rarely need an attention backward. For the differentiable uses
+(Grad-CAM with ``attn_impl='pallas'``, fine-tuning) the kernel carries a real
+``jax.custom_vjp``: the forward runs the Pallas kernel, the backward is the VJP
+of a numerically-identical XLA attention (recompute-based — no residuals beyond
+q/k/v are stored), gradient-tested against the pure-XLA path in
+``tests/test_flash_backward.py``.
 
 Design notes (see the flash-attention tiling in the Pallas guide):
 * grid = (batch*heads, q_blocks); each program streams K/V blocks with an online
@@ -83,6 +87,44 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _xla_reference(q, k, v, kv_len_arr, causal: bool):
+    """Numerically-equivalent XLA attention used to derive the backward pass
+    (recompute-based flash backward: cheap at CLIP shapes, exact cotangents)."""
+    dh = q.shape[-1]
+    s = q.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (dh ** -0.5)
+    kv_positions = jnp.arange(s)[None, :]
+    mask = kv_positions < kv_len_arr[0]
+    if causal:
+        mask = jnp.logical_and(mask, kv_positions <= jnp.arange(s)[:, None])
+    logits = jnp.where(mask[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_vjp(q, k, v, kv_len_arr, causal, blk_q, blk_k, interpret, precision):
+    return _flash_forward(q, k, v, kv_len_arr, causal, blk_q, blk_k, interpret, precision)
+
+
+def _flash_vjp_fwd(q, k, v, kv_len_arr, causal, blk_q, blk_k, interpret, precision):
+    out = _flash_forward(q, k, v, kv_len_arr, causal, blk_q, blk_k, interpret, precision)
+    return out, (q, k, v, kv_len_arr)
+
+
+def _flash_vjp_bwd(causal, blk_q, blk_k, interpret, precision, residuals, g):
+    q, k, v, kv_len_arr = residuals
+    _, pullback = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, kv_len_arr, causal), q, k, v)
+    dq, dk, dv = pullback(g.astype(q.dtype))
+    import numpy as np
+    d_kv = np.zeros(kv_len_arr.shape, dtype=jax.dtypes.float0)  # int operand
+    return dq, dk, dv, d_kv
+
+
+_flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "blk_q", "blk_k", "interpret", "precision"))
 def flash_attention(
     q: jax.Array,
@@ -101,16 +143,23 @@ def flash_attention(
     ``kv_len`` (scalar) masks trailing key padding. Returns ``[B, H, S, Dh]`` in
     the input dtype. Rows beyond ``kv_len`` are garbage (all keys masked give a
     zero-sum softmax guarded to 0) — callers slice them away.
+
+    Differentiable: ``jax.grad`` through this function uses the custom VJP
+    (XLA-derived backward over the exact same masked-softmax math).
     """
-    b, h, s, dh = q.shape
-    scale = dh ** -0.5
     if precision is None:
         # f32 inputs default to full-precision MXU passes (parity); bf16 stays fast
         precision = "highest" if q.dtype == jnp.float32 else "default"
-    s_pad = _round_up(max(s, blk_q), max(blk_q, blk_k))
     if kv_len is None:
-        kv_len = s
+        kv_len = q.shape[2]
     kv_len_arr = jnp.asarray([kv_len], dtype=jnp.int32)
+    return _flash_vjp(q, k, v, kv_len_arr, causal, blk_q, blk_k, interpret, precision)
+
+
+def _flash_forward(q, k, v, kv_len_arr, causal, blk_q, blk_k, interpret, precision):
+    b, h, s, dh = q.shape
+    scale = dh ** -0.5
+    s_pad = _round_up(max(s, blk_q), max(blk_q, blk_k))
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))) if s_pad != s else x

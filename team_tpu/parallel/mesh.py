@@ -90,15 +90,88 @@ class MeshContext:
             lambda x: jax.device_put(jnp.asarray(x), self.replicated), tree
         )
 
+    @property
+    def stacked_batch_sharding(self) -> NamedSharding:
+        """[K, B, ...] epoch-scan batches: scan dim replicated, batch dim split."""
+        return NamedSharding(self.mesh, P(None, self.data_axis))
+
+    def shard_stacked(self, tree):
+        """Place stacked [K, B, ...] batches with B split over the data axis.
+
+        Multi-host: each process contributes only the rows its devices own
+        (``jax.make_array_from_process_local_data``); the per-process slice is
+        derived from the sharding's addressable index map, so no cross-host
+        traffic happens at placement time."""
+        sh = self.stacked_batch_sharding
+
+        def put(x):
+            x = np.asarray(x)
+            if jax.process_count() == 1:
+                return jax.device_put(x, sh)
+            lo, hi = process_local_span(sh, x.shape, dim=1)
+            return jax.make_array_from_process_local_data(sh, x[:, lo:hi], x.shape)
+
+        return jax.tree_util.tree_map(put, tree)
+
 
 def host_shard_indices(n: int, host_id: Optional[int] = None,
                        host_count: Optional[int] = None) -> np.ndarray:
     """Deterministic per-host slice of a dataset of ``n`` samples for multi-host
     data parallelism: host ``i`` owns indices ``i, i+H, i+2H, ...`` (balanced,
-    order-stable, no coordination needed). Single-host returns everything."""
+    order-stable, no coordination needed). Single-host returns everything.
+
+    Consumed by the learners' feature-extraction path (each host encodes only
+    its shard, then the shards are gathered — see
+    :func:`gather_host_shards` and ``BaseLearner._extract_vectors``)."""
     host_id = jax.process_index() if host_id is None else host_id
     host_count = jax.process_count() if host_count is None else host_count
     return np.arange(host_id, n, host_count)
+
+
+def gather_host_shards(per_host_chunks: Sequence[np.ndarray], n: int) -> np.ndarray:
+    """Reassemble host-sharded results into global dataset order.
+
+    ``per_host_chunks[h]`` holds the rows for ``host_shard_indices(n, h, H)`` in
+    shard order; the output places row ``i`` of the ORIGINAL dataset at index
+    ``i``. Pure index math — unit-testable without real processes."""
+    host_count = len(per_host_chunks)
+    first = per_host_chunks[0]
+    out = np.empty((n,) + first.shape[1:], dtype=first.dtype)
+    for h, chunk in enumerate(per_host_chunks):
+        out[host_shard_indices(n, h, host_count)] = chunk
+    return out
+
+
+def allgather_host_shards(local: np.ndarray, n: int) -> np.ndarray:
+    """All-gather per-host feature shards (rows ``host_shard_indices(n)``) into
+    the full ``[n, ...]`` array in global dataset order on every host.
+
+    Shards are padded to equal length for the collective (``process_allgather``
+    requires uniform shapes), then reassembled with :func:`gather_host_shards`."""
+    host_count = jax.process_count()
+    if host_count == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    per = -(-n // host_count)
+    padded = np.zeros((per,) + local.shape[1:], local.dtype)
+    padded[: len(local)] = local
+    gathered = np.asarray(multihost_utils.process_allgather(padded))  # [H, per, ...]
+    chunks = [gathered[h][: len(host_shard_indices(n, h, host_count))]
+              for h in range(host_count)]
+    return gather_host_shards(chunks, n)
+
+
+def process_local_span(sharding: NamedSharding, global_shape, dim: int = 1):
+    """Contiguous [lo, hi) span of ``dim`` owned by this process under
+    ``sharding`` (used to feed ``make_array_from_process_local_data``)."""
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    starts, stops = [], []
+    for idx in idx_map.values():
+        sl = idx[dim]
+        starts.append(0 if sl.start is None else sl.start)
+        stops.append(global_shape[dim] if sl.stop is None else sl.stop)
+    return min(starts), max(stops)
 
 
 def shard_clip_params(params, mesh: Mesh, model_axis: str = "model"):

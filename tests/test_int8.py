@@ -1,0 +1,132 @@
+"""int8 quantized matmul + quantized CLIP tower (CPU interpret mode).
+
+On-chip validation (real MXU int8 lowering, throughput) lives in
+``scripts/int8_validate.py`` / the TPU-gated test at the bottom; these tests pin
+the numerics: kernel == dequantized integer reference, GELU fusion, padding, and
+the tower-level cosine gate vs the bf16 tower.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from team_tpu.ops.int8_matmul import (
+    int8_linear,
+    quantize_rows,
+    quantize_weight,
+    quantized_linear,
+)
+
+
+def test_quantize_rows_roundtrip(rng):
+    x = (rng.standard_normal((17, 64)) * 3).astype(np.float32)
+    x[3] = 0.0  # zero row must not divide by zero
+    q, s = quantize_rows(jnp.asarray(x))
+    assert q.dtype == jnp.int8
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(back - x).max(axis=1)
+    amax = np.abs(x).max(axis=1)
+    assert (err <= amax / 127.0 * 0.5 + 1e-7).all()  # round-to-nearest bound
+    assert np.all(np.asarray(q)[3] == 0)
+
+
+def test_int8_linear_matches_integer_reference(rng):
+    m, k, n = 70, 96, 160
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+
+    got = int8_linear(xq, wq, xs, ws, jnp.asarray(b), out_dtype=jnp.float32,
+                      block_m=32, block_n=32, interpret=True)
+    want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
+    want = want * np.asarray(xs) * np.asarray(ws) + b
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+    # and it approximates the float matmul to quantization error
+    ref = x @ w + b
+    rms = np.sqrt((ref ** 2).mean())
+    assert np.abs(np.asarray(got) - ref).mean() / rms < 0.01
+
+
+def test_int8_linear_gelu_fusion(rng):
+    m, k, n = 40, 64, 96
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+    got = int8_linear(xq, wq, xs, ws, None, activation="gelu",
+                      out_dtype=jnp.float32, block_m=32, block_n=32, interpret=True)
+    lin = int8_linear(xq, wq, xs, ws, None, out_dtype=jnp.float32,
+                      block_m=32, block_n=32, interpret=True)
+    # fused epilogue uses tanh-GELU (no erf lowering in Mosaic)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(jax.nn.gelu(lin, approximate=True)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_linear_row_padding(rng):
+    """M not divisible by the block: padded rows must not leak into outputs."""
+    m, k, n = 33, 64, 64
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+    got = int8_linear(xq, wq, xs, ws, None, out_dtype=jnp.float32,
+                      block_m=32, block_n=32, interpret=True)
+    assert got.shape == (m, n)
+    want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
+    want = want * np.asarray(xs) * np.asarray(ws)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def _cosine(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    num = (a * b).sum(axis=-1)
+    den = np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    return num / den
+
+
+def test_quantized_tower_cosine_gate(rng):
+    """encode_image_int8 must stay >= 0.999 cosine vs the bf16 tower."""
+    from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
+    from team_tpu.backbone.quant import encode_image_int8, quantize_vision_tower
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    imgs = jnp.asarray(rng.standard_normal(
+        (4, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32))
+
+    ref = encode_image(params, imgs, cfg, compute_dtype=jnp.bfloat16, attn_impl="xla")
+    qv = quantize_vision_tower(params)
+    got = encode_image_int8(qv, imgs, cfg, attn_impl="xla", interpret=True)
+    cos = _cosine(got, ref)
+    assert cos.min() >= 0.999, cos
+
+
+def test_quantized_linear_convenience(rng):
+    x = rng.standard_normal((8, 32)).astype(np.float32)
+    w = rng.standard_normal((32, 64)).astype(np.float32)
+    wq, ws = quantize_weight(jnp.asarray(w))
+    got = quantized_linear(jnp.asarray(x), wq, ws, out_dtype=jnp.float32,
+                           interpret=True)
+    ref = x @ w
+    rms = np.sqrt((ref ** 2).mean())
+    assert np.abs(np.asarray(got) - ref).mean() / rms < 0.02
+
+
+@pytest.mark.skipif("not __import__('os').environ.get('TEAM_TESTS_TPU')")
+def test_int8_linear_on_chip(rng):
+    """Real-MXU check (TEAM_TESTS_TPU=1): compiled kernel == integer reference."""
+    m, k, n = 512, 768, 768
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+    got = np.asarray(int8_linear(xq, wq, xs, ws, None, out_dtype=jnp.float32))
+    want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
+    want = want * np.asarray(xs) * np.asarray(ws)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
