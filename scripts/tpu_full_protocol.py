@@ -25,6 +25,12 @@ def main():
     print(f"full protocol done in {time.time() - t0:.1f}s")
     print("top1 curve:", res["cnn_top1"])
     print("avg:", res["avg_acc"])
+    # learning-signal regression floor (round-1 verdict item 10): this config
+    # measures ~28% avg incremental accuracy vs 5% chance (docs/BENCH.md); a
+    # silent numerics regression must turn this run red.
+    assert res["avg_acc"] >= 20.0, (
+        f"avg accuracy {res['avg_acc']} fell below the 20% floor (chance 5%)")
+    print("regression floor (>=20% avg) OK")
 
 
 if __name__ == "__main__":

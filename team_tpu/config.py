@@ -2,10 +2,32 @@
 
 Keeps the exact JSON experiment-file schema of the reference
 (``exps/IIMinsects202.json:1-47``) plus the CLI keys merged by ``main.py:12-16``
-(JSON overrides CLI). Unlike the reference — where many JSON keys are declared but
-never read (see reference ``models/proof.py:173-175`` hard-coding UniCL weights and
-``models/proof.py:22`` hard-coding temperature 0.07) — every knob here is honored,
-with ``parity_mode`` switching back to the reference's actual hard-coded behavior.
+(JSON overrides CLI).
+
+The reference declares many JSON keys it never reads (e.g. it hard-codes the
+UniCL weights at ``models/proof.py:173-175`` and temperature 0.07 at ``:22``).
+Here ``parity_mode=True`` (default) reproduces the reference's hard-coded
+behavior; fix mode (``parity_mode=False``) HONORS the declared knobs, each wired
+to the module that owns it (tests/test_fix_mode.py):
+
+* ``temperature`` / ``unicl_instance_weight`` / ``unicl_category_weight`` — UniCL;
+* ``lr_scheduler`` / ``milestones`` / ``gamma`` — per-epoch LR schedule;
+* ``exemplar_selection_strategy`` (herding|random|closest), ``stage_first_replay``
+  — rehearsal memory construction;
+* ``temporal_enabled`` — gates the whole evolution cadence;
+* ``temporal_relation_threshold`` / ``class_lifecycle_consistency`` /
+  ``temporal_feature_weight`` — temporal-graph edges and time features;
+* ``lifecycle_modeling_enabled`` / ``lifecycle_weight`` / ``state_evolution_steps``
+  — real evolution projectors (``modules/lifecycle.py``);
+* ``temporal_gcn_layers`` / ``temporal_gcn_hidden_dim`` — GCN capacity;
+* ``global_clip_loss`` — global vs per-shard contrastive loss under a mesh;
+* ``update_state_distance_interval`` / ``state_distance_decay_factor`` — EMA gate.
+
+Schema-compat ONLY (accepted, stored, deliberately not interpreted — they have
+no behavior in the reference and no natural owner here): ``balanced``, ``zoom``,
+``exemplars_per_class`` (superseded by ``memory_per_class``), ``model_dir``
+(superseded by ``checkpoint_dir``), ``frozen_layers``, ``use_cos``, and the CLI
+flags ``debug`` / ``temporal`` (superseded by ``temporal_enabled``).
 """
 
 from __future__ import annotations

@@ -108,7 +108,58 @@ class BaseLearner:
             indices=indices,
         )
 
+    # ------------------------------------------------------------------
+    # frozen-feature cache: the backbone is frozen and the CLIP/IIMinsects
+    # preprocess is deterministic, so each image's basic feature is computed
+    # at most ONCE per run (keyed by path or content hash). This removes the
+    # repeated decode+encode passes (prototypes, herding, class means, NME,
+    # zero-shot, replay rows) that dominated warm full-protocol time on this
+    # 1-core host (round-1 verdict item 3).
+    # ------------------------------------------------------------------
+    def _cacheable(self, ds) -> bool:
+        if self.cfg.get("augment_ops", None):
+            return False
+        if ds.mode == "train" and not ds.deterministic_train:
+            return False  # random-crop pipeline: features differ per epoch
+        return True
+
+    def _feat_keys(self, ds):
+        import hashlib
+
+        # deterministic-train datasets share the CLIP transform between train
+        # and test modes (reference build_transform ignores is_train), so those
+        # modes share cache entries; "flip" is a distinct transform.
+        mode_key = "flip" if ds.mode == "flip" else "clip"
+        keys = []
+        if ds.use_path:
+            for p in ds.images:
+                keys.append((mode_key, str(p)))
+        else:
+            for arr in ds.images:
+                a = np.ascontiguousarray(arr)
+                keys.append((mode_key, a.shape, hashlib.md5(a.tobytes()).hexdigest()))
+        return keys
+
+    def _cached_features(self, ds, batch_size=EVAL_BATCH) -> np.ndarray:
+        """Frozen basic features for every row of ``ds``, via the cache."""
+        cache = getattr(self, "_feature_cache", None)
+        if cache is None:
+            cache = self._feature_cache = {}
+        keys = self._feat_keys(ds)
+        missing = np.asarray([i for i, k in enumerate(keys) if k not in cache])
+        if len(missing):
+            loader = self._loader(ds, batch_size=batch_size, indices=missing)
+            for batch in loader:
+                v = int(batch.get("valid", len(batch["label"])))
+                feats = np.asarray(self.extract_vector(jnp.asarray(batch["image"])))
+                for row, f in zip(batch["index"][:v], feats[:v]):
+                    cache[keys[int(row)]] = f
+        return np.stack([cache[k] for k in keys])
+
     def _extract_vectors(self, loader: ArrayLoader) -> Tuple[np.ndarray, np.ndarray]:
+        ds = loader.dataset
+        if loader.indices is None and self._cacheable(ds):
+            return self._cached_features(ds, loader.batch_size), ds.labels
         vectors, targets = [], []
         for batch in loader:
             v = int(batch.get("valid", len(batch["label"])))
@@ -118,6 +169,9 @@ class BaseLearner:
         return np.concatenate(vectors), np.concatenate(targets)
 
     def _extract_vectors_with_states(self, loader: ArrayLoader):
+        ds = loader.dataset
+        if loader.indices is None and self._cacheable(ds):
+            return self._cached_features(ds, loader.batch_size), ds.labels, ds.stages
         vectors, targets, states = [], [], []
         for batch in loader:
             v = int(batch.get("valid", len(batch["label"])))
@@ -205,11 +259,39 @@ class BaseLearner:
     # rehearsal memory (herding)
     # ------------------------------------------------------------------
     def build_rehearsal_memory(self, data_manager: DataManager, per_class: int) -> None:
-        if self._fixed_memory:
+        # fix-mode honors ``stage_first_replay`` (declared but unread in the
+        # reference): route memory construction through per-state herding so
+        # every lifecycle stage stays represented, even without fixed_memory
+        stage_first = (not self.cfg.parity_mode) and bool(self.cfg.stage_first_replay)
+        if self._fixed_memory or stage_first:
             self._construct_exemplar_unified(data_manager, per_class)
         else:
             self._reduce_exemplar(data_manager, per_class)
             self._construct_exemplar(data_manager, per_class)
+
+    def _select_exemplars(self, vectors: np.ndarray, class_mean: np.ndarray,
+                          m: int) -> np.ndarray:
+        """Exemplar selection honoring ``exemplar_selection_strategy`` in fix
+        mode (reference declares the key but always herds): ``herding`` |
+        ``random`` (seeded) | ``closest`` (nearest to the class mean)."""
+        strategy = "herding" if self.cfg.parity_mode else str(
+            self.cfg.exemplar_selection_strategy).lower()
+        m = min(m, len(vectors))
+        if strategy == "random":
+            seed = self.cfg.seed[0] if isinstance(self.cfg.seed, (list, tuple)) else self.cfg.seed
+            rng = np.random.default_rng(int(seed) + len(self._targets_memory))
+            return rng.choice(len(vectors), size=m, replace=False)
+        if strategy in ("closest", "closest_to_mean"):
+            d = np.linalg.norm(vectors - class_mean[None], axis=1)
+            return np.argsort(d)[:m]
+        if self.cfg.get("use_native_io", False):
+            # C++ herding (native/team_io.cc): identical indices to the numpy
+            # loop (tests/test_native_io.py), much faster on this 1-core host
+            from team_tpu.data import native_io
+
+            if native_io.available():
+                return native_io.herding(vectors, class_mean, m)
+        return herding_selection(vectors, class_mean, m)
 
     def _class_mean_of(self, data_manager, appendent) -> np.ndarray:
         ds = data_manager.get_dataset([], source="train", mode="test", appendent=appendent)
@@ -245,7 +327,7 @@ class BaseLearner:
             vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
             class_mean = np.mean(vectors, axis=0)
 
-            sel_idx = herding_selection(vectors, class_mean, m)
+            sel_idx = self._select_exemplars(vectors, class_mean, m)
             selected = np.asarray(data)[sel_idx]
             sel_stages = stages[sel_idx]
             exemplar_targets = np.full(len(sel_idx), class_idx)
@@ -287,7 +369,7 @@ class BaseLearner:
                 if len(sv) <= samples_per_state:
                     selected = sd
                 else:
-                    sel_idx = herding_selection(sv, np.mean(sv, axis=0), samples_per_state)
+                    sel_idx = self._select_exemplars(sv, np.mean(sv, axis=0), samples_per_state)
                     selected = sd[sel_idx]
                 ex_targets = np.full(len(selected), class_idx)
                 ex_stages = np.full(len(selected), state_id)

@@ -32,7 +32,7 @@ from team_tpu.learners.proof_net import (
     TaskContext,
     build_epoch_runner,
     build_train_step,
-    cosine_lr,
+    lr_schedule,
     eval_correct_scan,
     eval_logits,
     init_buffers,
@@ -110,6 +110,9 @@ class Learner(BaseLearner):
             num_states=self.cfg.num_states,
             ctx_len=self.cfg.context_prompt_length_per_task,
             gcn_layers=self.cfg.temporal_gcn_layers if not self.cfg.parity_mode else 2,
+            # parity: the reference always builds hidden = feature_dim // 2
+            gcn_hidden_dim=(0 if self.cfg.parity_mode
+                            else int(self.cfg.temporal_gcn_hidden_dim)),
         )
         if self.trainable is None:  # may already be set by checkpoint restore
             key, self._rng = _split(self._rng)
@@ -118,8 +121,6 @@ class Learner(BaseLearner):
             )
             self.buffers = init_buffers(self.dims)
         self._tx = make_optimizer(self.cfg)
-        self._train_step = build_train_step(self.cfg, self.dims, self._tx)
-        self._epoch_runner = build_epoch_runner(self.cfg, self.dims, self._tx)
         # optional data-parallel mesh: batch sharded over ICI, params replicated;
         # the SPMD partitioner turns the CLIP loss into a global-batch loss with
         # all-gathers (replaces reference nn.DataParallel, proof.py:312-313)
@@ -131,6 +132,15 @@ class Learner(BaseLearner):
             self._mesh_ctx = MeshContext(mesh, self.cfg.mesh_axis_names[0])
             self.trainable = self._mesh_ctx.replicate(self.trainable)
             self.buffers = ProofBuffers(*self._mesh_ctx.replicate(tuple(self.buffers)))
+        # fix-mode global_clip_loss=False -> per-shard contrastive loss
+        clip_shards = 1
+        if (self._mesh_ctx is not None and not self.cfg.parity_mode
+                and not self.cfg.global_clip_loss):
+            clip_shards = self._mesh_ctx.n_data
+        self._train_step = build_train_step(self.cfg, self.dims, self._tx,
+                                            clip_shards=clip_shards)
+        self._epoch_runner = build_epoch_runner(self.cfg, self.dims, self._tx,
+                                                clip_shards=clip_shards)
 
     def _make_ctx(self) -> TaskContext:
         t = np.zeros(self.dims.max_tasks, np.float32)
@@ -288,10 +298,11 @@ class Learner(BaseLearner):
         k_full = max(1, -(-n // bs))
 
         for epoch in range(self.tuned_epoch):
-            # per-epoch cosine LR (scheduler stepped per epoch, proof.py:363,452);
-            # keep the dtype stable so the jitted step never retraces
+            # per-epoch LR (scheduler stepped per epoch, proof.py:363,452;
+            # fix-mode honors lr_scheduler/milestones/gamma); keep the dtype
+            # stable so the jitted step never retraces
             opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                cosine_lr(cfg, epoch), dtype=jnp.float32
+                lr_schedule(cfg, epoch), dtype=jnp.float32
             )
             order = shuffle_rng.permutation(n)
             losses = unicl_losses = 0.0
@@ -337,30 +348,49 @@ class Learner(BaseLearner):
                 losses / nb, unicl_losses / nb, train_acc, test_acc,
             )
 
-            # temporal evolution cadence (reference proof.py:461-513)
-            if (epoch + 1) % 2 == 0:
-                self.evolve_state_prototypes()          # block 1 (:461-468)
+            # temporal evolution cadence (reference proof.py:461-513);
+            # fix-mode honors temporal_enabled=false by skipping it entirely
+            if self._temporal_on:
+                if (epoch + 1) % 2 == 0:
+                    self.evolve_state_prototypes()      # block 1 (:461-468)
+                    if (epoch + 1) == self.tuned_epoch:
+                        self._visualize_evolution_paths()
+                    self.evolve_state_prototypes()      # duplicated block 2 (:473-476)
                 if (epoch + 1) == self.tuned_epoch:
                     self._visualize_evolution_paths()
-                self.evolve_state_prototypes()          # duplicated block 2 (:473-476)
-            if (epoch + 1) == self.tuned_epoch:
-                self._visualize_evolution_paths()
 
-            res = evolve_and_update(
-                self.aux["temporal_gcn"], self.buffers.proto_state,
-                self.buffers.proto_mask, self.buffers.lifecycle_types,
-            )
-            self.buffers = self.buffers._replace(
-                proto_state=res.prototypes,
-                evolution_embeddings=res.embeddings,
-                evolution_valid=res.embed_valid,
-                lifecycle_types=res.lifecycle_types,
-            )
-            self.update_state_distance_matrix(self.data_manager)
+                res = evolve_and_update(
+                    self.aux["temporal_gcn"], self.buffers.proto_state,
+                    self.buffers.proto_mask, self.buffers.lifecycle_types,
+                    **self._evo_kwargs(),
+                )
+                self.buffers = self.buffers._replace(
+                    proto_state=res.prototypes,
+                    evolution_embeddings=res.embeddings,
+                    evolution_valid=res.embed_valid,
+                    lifecycle_types=res.lifecycle_types,
+                )
+                self.update_state_distance_matrix(self.data_manager)
 
         # post-training integration (reference proof.py:516-517)
         self.integrate_with_state_distance()
         self.evolve_state_prototypes()
+
+    def _evo_kwargs(self) -> dict:
+        """Fix-mode honoring of declared-but-unread reference keys on the
+        temporal graph (parity mode keeps the reference's hard-coded values)."""
+        if self.cfg.parity_mode:
+            return {}
+        return dict(
+            intra_edge_threshold=float(self.cfg.temporal_relation_threshold),
+            inter_edge_weight=0.5 * float(self.cfg.class_lifecycle_consistency),
+            time_weight=float(self.cfg.temporal_feature_weight),
+        )
+
+    @property
+    def _temporal_on(self) -> bool:
+        """Fix-mode honors ``temporal_enabled`` (the reference always evolves)."""
+        return self.cfg.parity_mode or bool(self.cfg.temporal_enabled)
 
     def _put_stacked(self, tree):
         """Device-put stacked [K, B, ...] epoch batches; under a mesh the batch
@@ -373,11 +403,12 @@ class Learner(BaseLearner):
     # ------------------------------------------------------------------
     def evolve_state_prototypes(self):
         """Reference ``Proof_Net.evolve_state_prototypes`` (inc_net.py:582-598)."""
-        if float(jnp.sum(self.buffers.proto_mask)) == 0:
+        if not self._temporal_on or float(jnp.sum(self.buffers.proto_mask)) == 0:
             return None
         res = evolve_and_update(
             self.aux["temporal_gcn"], self.buffers.proto_state,
             self.buffers.proto_mask, self.buffers.lifecycle_types,
+            **self._evo_kwargs(),
         )
         fused = fuse_evolved_prototypes(
             self.buffers.proto_state, res.prototypes, self.buffers.proto_mask,
@@ -399,9 +430,12 @@ class Learner(BaseLearner):
 
     def update_state_distance_matrix(self, data_manager) -> None:
         """Temporal-GCN distance merge (reference proof.py:643-682)."""
+        if not self._temporal_on:
+            return
         res = evolve_and_update(
             self.aux["temporal_gcn"], self.buffers.proto_state,
             self.buffers.proto_mask, self.buffers.lifecycle_types,
+            **self._evo_kwargs(),
         )
         self.buffers = self.buffers._replace(
             proto_state=res.prototypes,
@@ -416,10 +450,35 @@ class Learner(BaseLearner):
 
     def integrate_with_state_distance(self) -> bool:
         """Reference ``integrate_with_state_distance`` (state_evolution.py:520-544)
-        scales evolution-projector biases — but the projector dict is never
-        populated (SURVEY.md §5 quirk 3), so the live behavior is a no-op."""
-        _ = self.state_distance.get_distance_matrix()
+        scales evolution-projector biases — but the reference's projector dict is
+        never populated (SURVEY.md §5 quirk 3), so its live behavior is a no-op.
+        Parity mode reproduces the no-op; fix mode routes to the REAL projectors
+        (``modules/lifecycle.py``), with the bias-scaling strength honoring the
+        declared-but-unread ``lifecycle_weight`` key (reference hard-codes 0.1)."""
+        dm = self.state_distance.get_distance_matrix()
+        if self.cfg.parity_mode or not self.cfg.lifecycle_modeling_enabled:
+            return True
+        from team_tpu.modules import lifecycle
+
+        if getattr(self, "_evo_projectors", None) is None:
+            key, self._rng = _split(self._rng)
+            self._evo_projectors = lifecycle.init_evolution_projectors(
+                key, self.dims.feature_dim)
+        self._evo_projectors = lifecycle.integrate_with_state_distance(
+            self._evo_projectors, dm, scale=float(self.cfg.lifecycle_weight))
         return True
+
+    def evolution_trajectory(self, src_state: int, src_feat):
+        """Simulated src→adult feature trajectory over the fix-mode projectors
+        (reference ``model_evolution_trajectory``, dead there — live here), with
+        the step count honoring ``state_evolution_steps``."""
+        from team_tpu.modules import lifecycle
+
+        if getattr(self, "_evo_projectors", None) is None:
+            return None
+        return lifecycle.evolution_trajectory(
+            self._evo_projectors, src_state, src_feat,
+            num_steps=max(2, int(self.cfg.state_evolution_steps)))
 
     def _eval_zero_shot(self):
         """Zero-shot eval with the full-test-set backbone features cached once

@@ -48,10 +48,11 @@ class ProofDims:
     num_states: int = 10
     ctx_len: int = 10           # context_prompt_length_per_task
     gcn_layers: int = 2
+    gcn_hidden_dim: int = 0     # 0 -> reference default feature_dim // 2
 
     @property
     def gcn_hidden(self) -> int:
-        return self.feature_dim // 2
+        return self.gcn_hidden_dim or self.feature_dim // 2
 
 
 class TaskContext(NamedTuple):
@@ -291,6 +292,7 @@ def proof_loss(
     num_states: int,
     parity_no_grad_ce: bool,
     clip_axis: Optional[str] = None,
+    clip_shards: int = 1,
 ) -> Tuple[jax.Array, StepStats]:
     basic_img = batch["feat"]            # [B, D] frozen-backbone image features
     targets = batch["label"]
@@ -320,8 +322,18 @@ def proof_loss(
     # 3) CLIP loss on pre-attention projected features (proof.py:428-431)
     img_norm = _normalize(project_image(tr, basic_img, ctx))
     txt_norm = _normalize(project_text(tr, basic_txt, ctx))
-    clip_val = clip_loss(img_norm, txt_norm, logit_scale, axis_name=clip_axis,
-                         valid_mask=vm)
+    if clip_shards > 1:
+        # fix-mode ``global_clip_loss=False``: per-shard contrastive loss. The
+        # reshape is shard-layout-aligned (batch dim split over the data axis),
+        # so XLA keeps each sub-loss local — no all-gather traffic.
+        d = img_norm.shape[-1]
+        vm_s = (jnp.ones((img_norm.shape[0],)) if vm is None else vm).reshape(clip_shards, -1)
+        clip_val = jnp.mean(jax.vmap(
+            lambda a, b, v: clip_loss(a, b, logit_scale, valid_mask=v)
+        )(img_norm.reshape(clip_shards, -1, d), txt_norm.reshape(clip_shards, -1, d), vm_s))
+    else:
+        clip_val = clip_loss(img_norm, txt_norm, logit_scale, axis_name=clip_axis,
+                             valid_mask=vm)
 
     # 4) UniCL tri-modal loss on post-attention features (proof.py:434-441)
     unicl_val, _ = unicl_loss(
@@ -364,6 +376,22 @@ def cosine_lr(cfg, epoch: int) -> float:
     )
 
 
+def lr_schedule(cfg, epoch: int) -> float:
+    """Per-epoch learning rate honoring ``lr_scheduler``/``milestones``/``gamma``.
+
+    The reference declares these JSON keys but always builds
+    CosineAnnealingLR (``models/proof.py:363``); parity mode reproduces that.
+    Fix mode honors: ``cosine`` (default), ``steplr``/``multisteplr``
+    (``init_lr * gamma^(#milestones <= epoch)``), ``constant``."""
+    sched = "cosine" if cfg.parity_mode else str(cfg.lr_scheduler).lower()
+    if sched in ("steplr", "multisteplr", "step", "multi_step", "multistep"):
+        factor = cfg.gamma ** sum(1 for m in cfg.milestones if epoch >= m)
+        return float(cfg.init_lr * factor)
+    if sched == "constant":
+        return float(cfg.init_lr)
+    return cosine_lr(cfg, epoch)
+
+
 def restore_frozen_slices(new_tr, old_tr, cur_onehot):
     """Undo any optimizer drift (weight decay) on frozen per-task slices."""
     def mix(new, old, keep_shape):
@@ -380,12 +408,10 @@ def restore_frozen_slices(new_tr, old_tr, cur_onehot):
     return out
 
 
-def build_train_step(cfg, dims: ProofDims, tx: optax.GradientTransformation,
-                     clip_axis: Optional[str] = None):
-    """Compile-once train step over cached backbone features."""
-
+def _loss_kwargs(cfg, dims: ProofDims, clip_axis: Optional[str],
+                 clip_shards: int) -> dict:
     temperature = cfg.temperature if not cfg.parity_mode else 0.07
-    kwargs = dict(
+    return dict(
         max_epoch=cfg.tuned_epoch,
         temperature=float(temperature),
         instance_weight=float(cfg.unicl_instance_weight if not cfg.parity_mode else 1.0),
@@ -394,7 +420,15 @@ def build_train_step(cfg, dims: ProofDims, tx: optax.GradientTransformation,
         num_states=dims.num_states,
         parity_no_grad_ce=bool(cfg.parity_mode),
         clip_axis=clip_axis,
+        clip_shards=int(clip_shards),
     )
+
+
+def build_train_step(cfg, dims: ProofDims, tx: optax.GradientTransformation,
+                     clip_axis: Optional[str] = None, clip_shards: int = 1):
+    """Compile-once train step over cached backbone features."""
+
+    kwargs = _loss_kwargs(cfg, dims, clip_axis, clip_shards)
 
     def _step(tr, opt_state, batch, ctx, buffers, rng, epoch):
         (loss, stats), grads = jax.value_and_grad(proof_loss, has_aux=True)(
@@ -409,26 +443,17 @@ def build_train_step(cfg, dims: ProofDims, tx: optax.GradientTransformation,
 
 
 def build_epoch_runner(cfg, dims: ProofDims, tx: optax.GradientTransformation,
-                       clip_axis: Optional[str] = None):
+                       clip_axis: Optional[str] = None, clip_shards: int = 1):
     """One jitted call per EPOCH: ``lax.scan`` over stacked full batches.
 
     Identical math to dispatching the single train step per batch (same
     optimizer state threading, same per-batch rngs) but one host→device
     round-trip per epoch instead of per step — the per-dispatch tunnel latency
     on this environment (~100ms) would otherwise dominate the tiny cached-
-    feature steps. Remainder (non-full) batches go through the single step."""
+    feature steps. The final (non-full) batch is padded and masked
+    (``valid_mask``), so every batch has one compiled shape."""
 
-    temperature = cfg.temperature if not cfg.parity_mode else 0.07
-    kwargs = dict(
-        max_epoch=cfg.tuned_epoch,
-        temperature=float(temperature),
-        instance_weight=float(cfg.unicl_instance_weight if not cfg.parity_mode else 1.0),
-        category_weight=float(cfg.unicl_category_weight if not cfg.parity_mode else 0.5),
-        unicl_weight=float(cfg.unicl_loss_weight),
-        num_states=dims.num_states,
-        parity_no_grad_ce=bool(cfg.parity_mode),
-        clip_axis=clip_axis,
-    )
+    kwargs = _loss_kwargs(cfg, dims, clip_axis, clip_shards)
 
     @jax.jit
     def run_epoch(tr, opt_state, batches, ctx, buffers, rngs, epoch):

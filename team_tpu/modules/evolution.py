@@ -72,14 +72,32 @@ def state_time_steps(proto_mask: jax.Array) -> jax.Array:
     return jnp.where(m > 0, rank / jnp.maximum(n - 1.0, 1.0), 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("intra_edge_threshold",
+                                              "inter_edge_weight", "time_weight"))
 def evolve_and_update(
     gcn_params: Dict[str, Any],
     proto_state: jax.Array,
     proto_mask: jax.Array,
     lifecycle_types: jax.Array,
+    *,
+    intra_edge_threshold: float = 0.0,
+    inter_edge_weight: float = 0.5,
+    time_weight: float = 1.0,
 ) -> EvolutionResult:
-    """One temporal-evolution pass over the dense prototype bank."""
+    """One temporal-evolution pass over the dense prototype bank.
+
+    The keyword knobs are fix-mode honoring of reference config keys that the
+    reference declares but never reads (SURVEY §5 dead keys); the defaults
+    reproduce the reference's hard-coded behavior exactly:
+
+    * ``intra_edge_threshold``: temporal edges with weight ``1 − |Δt|`` BELOW
+      this are dropped (``temporal_relation_threshold``; default 0.0 keeps
+      even zero-weight edges, the reference's behavior);
+    * ``inter_edge_weight``: weight of inter-class same-state edges
+      (reference hard-codes 0.5 at ``state_evolution.py:316``; fix mode scales
+      it by ``class_lifecycle_consistency``);
+    * ``time_weight``: see :func:`temporal_gcn_forward` (``temporal_feature_weight``).
+    """
     c, s, d = proto_state.shape
     n = c * s
     mask = proto_mask.astype(jnp.float32)
@@ -109,6 +127,8 @@ def evolve_and_update(
     # list before weighting, state_evolution.py:299-316).
     dt = tt[None, :] - tt[:, None]          # dt[i, j] = t_j - t_i
     intra = pair_valid & same_class & (dt > 0) & not_self
+    if intra_edge_threshold > 0.0:
+        intra = intra & ((1.0 - jnp.abs(dt)) >= intra_edge_threshold)
     intra_w = jnp.where(intra, 1.0 - jnp.abs(dt), 0.0)
 
     types_n = lifecycle_types[class_id]
@@ -117,12 +137,13 @@ def evolve_and_update(
         & (types_n[:, None] == types_n[None, :])
     )
     # adjacency indexed [dst, src]
-    adj = intra_w.T + jnp.where(inter, 0.5, 0.0).T
+    adj = intra_w.T + jnp.where(inter, inter_edge_weight, 0.0).T
     edge_mask = (intra | inter).T
     has_edges = jnp.sum(edge_mask) > 0
 
     flat = proto_state.reshape(n, d)
-    updated = temporal_gcn_forward(gcn_params, flat, adj, tt[:, None], edge_mask)
+    updated = temporal_gcn_forward(gcn_params, flat, adj, tt[:, None], edge_mask,
+                                   time_weight=time_weight)
     keep = has_edges & nv
     new_flat = jnp.where(keep[:, None], updated, flat)
     new_protos = new_flat.reshape(c, s, d)

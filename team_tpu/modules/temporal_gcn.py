@@ -96,6 +96,7 @@ def temporal_gcn_forward(
     adj: jax.Array,
     time_steps: jax.Array,
     edge_mask: jax.Array | None = None,
+    time_weight: float = 1.0,
 ) -> jax.Array:
     """``node_features: [N, D]``, ``adj: [N, N]`` weights (dst, src), ``time_steps:
     [N, 1]`` -> L2-normalized updated features ``[N, D]``.
@@ -104,6 +105,10 @@ def temporal_gcn_forward(
     (zero-weight edges still aggregate into the mean denominator when the mask
     says so). Nodes with no in/out edges still pass through encoders + the gated
     self-update, exactly as isolated nodes do in the reference loop.
+
+    ``time_weight`` scales the encoded time features before concatenation —
+    fix-mode honoring of the reference's declared-but-unread
+    ``temporal_feature_weight`` config key (1.0 = reference behavior).
     """
     if edge_mask is None:
         edge_mask = adj > 0
@@ -111,7 +116,7 @@ def temporal_gcn_forward(
     te = params["time_encoder"]
     h = jax.nn.relu(_ln(ne["ln"], node_features @ ne["w"] + ne["b"]))
     t = jax.nn.relu(_ln(te["ln"], time_steps @ te["w"] + te["b"]))
-    x = jnp.concatenate([h, t], axis=-1)
+    x = jnp.concatenate([h, time_weight * t], axis=-1)
     for blk in params["blocks"]:
         x = _block_forward(blk, x, adj, edge_mask)
     op = params["output_proj"]

@@ -71,6 +71,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block_n(n: int, target: int) -> int:
+    """Largest block <= target that divides n, preferring lane multiples (128)."""
+    for cand in range(min(target, n) // 128 * 128, 0, -128):
+        if n % cand == 0:
+            return cand
+    for cand in range(min(target, n), 0, -1):  # small-n/test fallback
+        if n % cand == 0:
+            return cand
+    return n
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "out_dtype", "block_m", "block_n", "interpret"),
@@ -96,7 +107,7 @@ def int8_linear(
     m, k = x_q.shape
     _, n = w_q.shape
     bm = min(block_m, _round_up(m, 32))
-    bn = min(block_n, n)
+    bn = _pick_block_n(n, block_n)  # must DIVIDE n — the grid has no remainder
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))

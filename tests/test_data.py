@@ -123,6 +123,23 @@ def test_native_herding_matches_numpy(rng):
     np.testing.assert_array_equal(ref, nat)
 
 
+def test_learner_routes_herding_to_native(rng):
+    """use_native_io=True must route BaseLearner exemplar selection through the
+    C++ herding (round-1 verdict item 8) with identical indices."""
+    from team_tpu.config import Config
+    from team_tpu.data import native_io
+    from team_tpu.learners.base import herding_selection
+    from team_tpu.learners.simplecil import Learner
+
+    if not native_io.available():
+        pytest.skip("native team_io not built")
+    vectors = rng.standard_normal((60, 12)).astype(np.float32)
+    mean = vectors.mean(axis=0)
+    cfg = Config(extras={"use_native_io": True})
+    got = Learner(cfg)._select_exemplars(vectors, mean, 8)
+    np.testing.assert_array_equal(got, herding_selection(vectors, mean, 8))
+
+
 def test_device_preprocess_matches_host(rng):
     import jax.numpy as jnp
 

