@@ -266,8 +266,9 @@ void ResizeBicubic(const uint8_t* src, int h, int w, float* dst, int oh, int ow)
 constexpr float kClipMean[3] = {0.48145466f, 0.4578275f, 0.40821073f};
 constexpr float kClipStd[3] = {0.26862954f, 0.26130258f, 0.27577711f};
 
-// Full single-image pipeline into out (image_size*image_size*3 floats).
-bool ProcessOne(const char* path, int image_size, bool hflip, float* out) {
+// Shared decode+resize front-end; `resized` receives the unnormalized bicubic
+// output in float (range ~[0, 255] with cubic over/undershoot).
+bool DecodeAndResize(const char* path, int image_size, std::vector<float>* resized) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
@@ -285,9 +286,15 @@ bool ProcessOne(const char* path, int image_size, bool hflip, float* out) {
   if (!DecodeImage(bytes.data(), bytes.size(), &rgb, &w, &h) || w <= 0 || h <= 0) {
     return false;
   }
-  std::vector<float> resized(static_cast<size_t>(image_size) * image_size * 3);
-  ResizeBicubic(rgb.data(), h, w, resized.data(), image_size, image_size);
+  resized->resize(static_cast<size_t>(image_size) * image_size * 3);
+  ResizeBicubic(rgb.data(), h, w, resized->data(), image_size, image_size);
+  return true;
+}
 
+// Full single-image pipeline into out (image_size*image_size*3 floats).
+bool ProcessOne(const char* path, int image_size, bool hflip, float* out) {
+  std::vector<float> resized;
+  if (!DecodeAndResize(path, image_size, &resized)) return false;
   for (int y = 0; y < image_size; ++y) {
     for (int x = 0; x < image_size; ++x) {
       const int sx = hflip ? (image_size - 1 - x) : x;
@@ -297,6 +304,27 @@ bool ProcessOne(const char* path, int image_size, bool hflip, float* out) {
         float v = p[c] * (1.0f / 255.0f);
         v = v < 0.0f ? 0.0f : (v > 1.0f ? 1.0f : v);  // clamp cubic over/undershoot
         o[c] = (v - kClipMean[c]) / kClipStd[c];
+      }
+    }
+  }
+  return true;
+}
+
+// uint8-output variant: decode + resize only (PIL-style round-to-nearest into
+// uint8); normalization runs fused ON DEVICE (team_tpu/ops/preprocess.py).
+// Output is 4x smaller than float32 — less host->device transfer and zero
+// host float math per pixel.
+bool ProcessOneU8(const char* path, int image_size, bool hflip, uint8_t* out) {
+  std::vector<float> resized;
+  if (!DecodeAndResize(path, image_size, &resized)) return false;
+  for (int y = 0; y < image_size; ++y) {
+    for (int x = 0; x < image_size; ++x) {
+      const int sx = hflip ? (image_size - 1 - x) : x;
+      const float* p = resized.data() + (static_cast<size_t>(y) * image_size + sx) * 3;
+      uint8_t* o = out + (static_cast<size_t>(y) * image_size + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float v = p[c] + 0.5f;
+        o[c] = static_cast<uint8_t>(v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v));
       }
     }
   }
@@ -337,6 +365,34 @@ int team_io_load_batch(const char** paths, int batch, int image_size,
     pool->Submit([&, i] {
       const bool success =
           ProcessOne(paths[i], image_size, hflip != nullptr && hflip[i], out + stride * i);
+      ok[i] = success ? 1 : 0;
+      if (success) good.fetch_add(1);
+      if (done.fetch_add(1) + 1 == batch) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == batch; });
+  return good.load();
+}
+
+// uint8 variant of team_io_load_batch: decode+resize only, normalization is
+// the device's job. out is [batch, image_size, image_size, 3] uint8.
+int team_io_load_batch_u8(const char** paths, int batch, int image_size,
+                          const uint8_t* hflip, int n_threads, uint8_t* out,
+                          uint8_t* ok) {
+  ThreadPool* pool = GetPool(n_threads > 0 ? n_threads : 8);
+  std::atomic<int> done{0};
+  std::atomic<int> good{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t stride = static_cast<size_t>(image_size) * image_size * 3;
+  for (int i = 0; i < batch; ++i) {
+    pool->Submit([&, i] {
+      const bool success =
+          ProcessOneU8(paths[i], image_size, hflip != nullptr && hflip[i], out + stride * i);
       ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
       if (done.fetch_add(1) + 1 == batch) {

@@ -23,7 +23,14 @@ import jax.numpy as jnp
 
 from team_tpu.backbone.clip import CLIPConfig, Params, _layer_norm, embed_patches
 from team_tpu.ops.attention import multi_head_attention
-from team_tpu.ops.int8_matmul import int8_linear, quantize_rows, quantize_weight
+from team_tpu.ops.int8_matmul import (
+    int8_linear,
+    int8_linear_blockscale,
+    int8_linear_gelu_quant,
+    ln_quantize,
+    quantize_rows,
+    quantize_weight,
+)
 
 
 def quantize_block(blk: Params) -> Dict[str, Any]:
@@ -61,10 +68,21 @@ def _qlinear(x2d: jax.Array, qp: Dict[str, Any], activation=None, interpret=Fals
 
 def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
                     *, attn_impl: str, interpret: bool) -> jax.Array:
+    """One quantized transformer block with deep kernel fusion (the measured
+    requirement — standalone quantize passes cost a full HBM round trip each):
+
+    * LN → int8 quantize fused (``ln_quantize``), feeding qkv / fc;
+    * fc GEMM → GELU → int8 quantize fused (``int8_linear_gelu_quant``): the
+      [M, 4D] full-precision activation never reaches HBM;
+    * proj consumes the block-scale int8 activation (``int8_linear_blockscale``);
+    * attention (softmax-bound) stays on the XLA path.
+    """
     b, s, d = x.shape
     dh = d // heads
-    h = _layer_norm(qb["ln_1"], x)
-    qkv = _qlinear(h.reshape(b * s, d), qb["qkv"], interpret=interpret).reshape(b, s, 3 * d)
+    hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_1"]["scale"],
+                         qb["ln_1"]["bias"], interpret=interpret)
+    qkv = int8_linear(hq, qb["qkv"]["w_q"], hs, qb["qkv"]["scale"], qb["qkv"]["b"],
+                      interpret=interpret).reshape(b, s, 3 * d)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def split_heads(t):
@@ -74,11 +92,14 @@ def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
                              kv_len, causal=False, impl=attn_impl)
     o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
     x = x + _qlinear(o, qb["out"], interpret=interpret).reshape(b, s, d)
-    h = _layer_norm(qb["ln_2"], x)
-    h = _qlinear(h.reshape(b * s, d), qb["fc"], activation="gelu",
-                 interpret=interpret)
-    x = x + _qlinear(h, qb["proj"], interpret=interpret).reshape(b, s, d)
-    return x
+
+    hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_2"]["scale"],
+                         qb["ln_2"]["bias"], interpret=interpret)
+    gq, gs = int8_linear_gelu_quant(hq, qb["fc"]["w_q"], hs, qb["fc"]["scale"],
+                                    qb["fc"]["b"], interpret=interpret)
+    proj = int8_linear_blockscale(gq, qb["proj"]["w_q"], gs, qb["proj"]["scale"],
+                                  qb["proj"]["b"], interpret=interpret)
+    return x + proj.reshape(b, s, d)
 
 
 def encode_image_int8(

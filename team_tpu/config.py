@@ -130,6 +130,7 @@ class Config:
     mesh_axis_names: Sequence[str] = ("data",)
     global_clip_loss: bool = True        # all_gather features across the data axis
     local_loss: bool = False             # open_clip-style local-loss variant
+    device_preprocess: bool = True       # host stops at uint8; /255+normalize fused on device
     data_root: Optional[str] = None      # dataset root (replaces hardcoded paths, data.py:493-494)
     log_dir: str = "logs"
     results_dir: str = "results"

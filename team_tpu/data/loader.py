@@ -40,7 +40,8 @@ class ArrayLoader:
                  seed: int = 0, num_threads: int = 8, image_size: int = 224,
                  prefetch: int = 2, drop_last: bool = False, use_native: bool = False,
                  augment_ops=None, pad_last: bool = False,
-                 indices: Optional[np.ndarray] = None):
+                 indices: Optional[np.ndarray] = None,
+                 device_normalize: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -67,6 +68,16 @@ class ArrayLoader:
             from team_tpu.data import native_io
 
             self._native = native_io.available()
+        # device_normalize: host stops at uint8 (decode+resize only); batches
+        # carry uint8 images and the /255 + CLIP-normalize runs fused on device
+        # (team_tpu/ops/preprocess.py via BackboneRuntime) — 4x less
+        # host->device transfer and zero per-pixel host float math. Only valid
+        # on the deterministic CLIP pipeline (identical f32 math either side).
+        self._device_normalize = bool(
+            device_normalize and not augment_ops
+            and (dataset.mode in ("test", "flip")
+                 or (dataset.mode == "train" and dataset.deterministic_train))
+        )
 
     def __len__(self) -> int:
         n = len(self.dataset) if self.indices is None else len(self.indices)
@@ -92,22 +103,42 @@ class ArrayLoader:
             reps = -(-self.batch_size // max(valid, 1))
             idxs = np.tile(idxs, reps)[: self.batch_size]
         items = [self.dataset.images[i] for i in idxs]
+
+        def batch_dict(imgs):
+            return {
+                "image": imgs,
+                "label": self.dataset.labels[idxs].astype(np.int32),
+                "stage_id": self.dataset.stages[idxs].astype(np.int32),
+                "index": idxs.astype(np.int32),
+                "valid": np.int32(valid),
+            }
+
         if self._native:
             from team_tpu.data import native_io
 
             flips = (np.ones(len(idxs), np.uint8) if self.dataset.mode == "flip"
                      else np.zeros(len(idxs), np.uint8))
-            imgs, ok = native_io.load_batch([str(p) for p in items], self.image_size,
-                                            hflip=flips, n_threads=self.num_threads)
+            loader_fn = native_io.load_batch_u8 if self._device_normalize else native_io.load_batch
+            imgs, ok = loader_fn([str(p) for p in items], self.image_size,
+                                 hflip=flips, n_threads=self.num_threads)
             if ok.all():
-                return {
-                    "image": imgs,
-                    "label": self.dataset.labels[idxs].astype(np.int32),
-                    "stage_id": self.dataset.stages[idxs].astype(np.int32),
-                    "index": idxs.astype(np.int32),
-                    "valid": np.int32(valid),
-                }
+                return batch_dict(imgs)
             # fall through to the PIL path on any decode failure
+
+        if self._device_normalize:
+            def to_u8(item):
+                if (isinstance(item, np.ndarray)
+                        and item.shape[:2] == (self.image_size, self.image_size)
+                        and self.dataset.mode != "flip"):
+                    return item  # already uint8 at target size
+                img = _load_image(item).resize((self.image_size, self.image_size),
+                                               Image.BICUBIC)
+                if self.dataset.mode == "flip":
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                return np.asarray(img, dtype=np.uint8)
+
+            imgs = np.stack(list(pool.map(to_u8, items)))
+            return batch_dict(imgs)
         rngs = [np.random.default_rng(rng.integers(0, 2 ** 31)) for _ in idxs] if rng else [None] * len(idxs)
 
         deterministic_clip = (

@@ -48,6 +48,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.team_io_load_batch_u8.restype = ctypes.c_int
+        lib.team_io_load_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.team_io_herding.restype = None
         lib.team_io_herding.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -80,6 +86,29 @@ def load_batch(paths: Sequence[str], image_size: int = 224,
         flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out, ok.astype(bool)
+
+
+def load_batch_u8(paths: Sequence[str], image_size: int = 224,
+                  hflip: Optional[np.ndarray] = None, n_threads: int = 8
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode+resize only -> (``[B, S, S, 3] uint8``, ok mask). Normalization
+    runs fused on device (:mod:`team_tpu.ops.preprocess`); the uint8 batch is
+    4x smaller on the host->device link than the float32 variant."""
+    lib = _load()
+    assert lib is not None, "native team_io not available"
+    b = len(paths)
+    out = np.empty((b, image_size, image_size, 3), dtype=np.uint8)
+    ok = np.zeros(b, dtype=np.uint8)
+    arr = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    flips = np.zeros(b, dtype=np.uint8) if hflip is None else hflip.astype(np.uint8)
+    lib.team_io_load_batch_u8(
+        arr, b, image_size,
+        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out, ok.astype(bool)

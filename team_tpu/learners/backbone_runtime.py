@@ -62,8 +62,24 @@ class BackboneRuntime:
                     attn_impl=self.attn_impl)
         )
 
+        def _encode_u8(params, images_u8):
+            # fused device-side preprocess (round-1 verdict item 3): uint8
+            # arrives from the loader, /255 + CLIP-normalize fuses into the
+            # tower's first HBM pass — numerically identical f32 math to the
+            # host normalize, 4x less transfer.
+            from team_tpu.ops.preprocess import preprocess_batch
+
+            x = preprocess_batch(images_u8, self.clip_cfg.vision.image_size)
+            return encode_image(params, x, cfg=self.clip_cfg,
+                                compute_dtype=self.compute_dtype,
+                                attn_impl=self.attn_impl)
+
+        self._encode_image_u8 = jax.jit(_encode_u8)
+
     # -- frozen-backbone encodes ---------------------------------------
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        if images.dtype == jnp.uint8:
+            return self._encode_image_u8(self.params, images)
         return self._encode_image(self.params, images)
 
     def encode_text_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:

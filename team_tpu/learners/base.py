@@ -106,6 +106,7 @@ class BaseLearner:
             augment_ops=self.cfg.get("augment_ops", None),
             pad_last=pad_last,
             indices=indices,
+            device_normalize=bool(self.cfg.get("device_preprocess", True)),
         )
 
     # ------------------------------------------------------------------

@@ -111,10 +111,12 @@ def int8_linear(
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
-        x_scale = jnp.pad(x_scale, ((0, m_pad - m), (0, 0)), constant_values=1.0)
     if bias is None:
         bias = jnp.zeros((n,), jnp.float32)
-    xs_row = x_scale.reshape(1, m_pad)       # scales ride the lane dim
+    xs_row = x_scale.reshape(1, -1)          # scales ride the lane dim
+    if xs_row.shape[1] != m_pad:             # accepts [M,1] or [1,M] inputs
+        xs_row = jnp.pad(xs_row, ((0, 0), (0, m_pad - xs_row.shape[1])),
+                         constant_values=1.0)
     ws_row = w_scale.reshape(1, n).astype(jnp.float32)
     b_row = bias.reshape(1, n).astype(jnp.float32)
 
@@ -139,6 +141,200 @@ def int8_linear(
             transcendentals=m_pad * n if activation == "gelu" else 0,
         ),
     )(x_q, w_q, xs_row, ws_row, b_row)
+    return out[:m] if m_pad != m else out
+
+
+def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * g_ref[0, :][None, :] + b_ref[0, :][None, :]
+    amax = jnp.max(jnp.abs(y), axis=-1)          # [bm]
+    s = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
+    q_ref[...] = jnp.clip(jnp.round(y / s[:, None]), -127, 127).astype(jnp.int8)
+    s_ref[0, :] = s
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def ln_quantize(x: jax.Array, gamma: jax.Array, beta: jax.Array, *,
+                block_m: int = 512, interpret: bool = False):
+    """Fused LayerNorm + per-row int8 quantization in ONE HBM pass.
+
+    ``x: [M, D]`` -> ``(q int8 [M, D], scale f32 [1, M])``. Standalone
+    LN-then-quantize costs two full reads + a bf16 write of the LN output;
+    fusing them removes that round trip (the measured win that makes the int8
+    tower faster than bf16 — docs/BENCH.md)."""
+    m, d = x.shape
+    bm = min(block_m, _round_up(m, 32))
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    q, s = pl.pallas_call(
+        _ln_quant_kernel,
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, bm), lambda i: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, d), jnp.int8),
+            jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(x, gamma.reshape(1, d).astype(jnp.float32), beta.reshape(1, d).astype(jnp.float32))
+    return q[:m], s[:, :m]
+
+
+def _mm_gelu_quant_kernel(x_ref, w_ref, xs_ref, ws_ref, b_ref, q_ref, s_ref):
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    xs = xs_ref[0, :].astype(jnp.float32)
+    ws = ws_ref[0, :].astype(jnp.float32)
+    out = acc.astype(jnp.float32) * xs[:, None] * ws[None, :] + b_ref[0, :][None, :]
+    out = jax.nn.gelu(out, approximate=True)  # tanh-GELU (no erf in Mosaic)
+    amax = jnp.max(jnp.abs(out), axis=-1)     # per (row, j-block)
+    s = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
+    q_ref[...] = jnp.clip(jnp.round(out / s[:, None]), -127, 127).astype(jnp.int8)
+    s_ref[0, :] = s
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+def int8_linear_gelu_quant(
+    x_q: jax.Array,          # [M, K] int8
+    w_q: jax.Array,          # [K, N] int8
+    x_scale: jax.Array,      # [1, M] or [M, 1] f32
+    w_scale: jax.Array,      # [1, N] f32
+    bias: jax.Array,         # [N]
+    *,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """``quantize(gelu(dequant(x_q @ w_q) + bias))`` with BLOCK-WISE activation
+    scales: returns ``(q int8 [M, N], scales f32 [N/bn, M])`` where scale
+    ``[j, m]`` covers columns ``[j*bn, (j+1)*bn)`` of row ``m``.
+
+    The full-precision GEMM output (e.g. the 310 MB fc activation at B=256)
+    never reaches HBM — only its int8 quantization does. Consumed by
+    :func:`int8_linear_blockscale`."""
+    m, k = x_q.shape
+    _, n = w_q.shape
+    bm = min(block_m, _round_up(m, 32))
+    bn = _pick_block_n(n, block_n)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
+    xs_row = x_scale.reshape(1, -1)
+    if xs_row.shape[1] != m_pad:
+        xs_row = jnp.pad(xs_row, ((0, 0), (0, m_pad - xs_row.shape[1])),
+                         constant_values=1.0)
+    n_i = m_pad // bm
+    # scales live FLAT as [1, n_jb * m_pad] (Mosaic requires the second-minor
+    # block dim be 8-divisible or the full dim; (1, bm) tiles of a [n_jb, M]
+    # array violate that) — reshaped to [n_jb, M] for the public contract.
+    q, s = pl.pallas_call(
+        _mm_gelu_quant_kernel,
+        grid=(m_pad // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+            pl.BlockSpec((1, bm), lambda i, j, n_i=n_i: (0, j * n_i + i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, n), jnp.int8),
+            jax.ShapeDtypeStruct((1, (n // bn) * m_pad), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x_q, w_q, xs_row, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return q[:m], s.reshape(n // bn, m_pad)[:, :m]
+
+
+def _mm_blockscale_kernel(x_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, acc_ref):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    part = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    xs = xs_ref[0, :].astype(jnp.float32)
+    acc_ref[:] += part.astype(jnp.float32) * xs[:, None]
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        ws = ws_ref[0, :].astype(jnp.float32)
+        o_ref[:] = (acc_ref[:] * ws[None, :] + b_ref[0, :][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "block_m", "block_n",
+                                              "interpret"))
+def int8_linear_blockscale(
+    x_q: jax.Array,          # [M, K] int8
+    w_q: jax.Array,          # [K, N] int8
+    x_scales: jax.Array,     # [K/bk, M] f32 — per (row, K-block), bk from producer
+    w_scale: jax.Array,      # [1, N] f32
+    bias: Optional[jax.Array] = None,
+    *,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """Matmul over activations quantized with BLOCK-WISE scales (the output of
+    :func:`int8_linear_gelu_quant`): the K axis is gridded at the producer's
+    block size and each int32 partial is dequantized with its block's row
+    scale into an f32 accumulator."""
+    m, k = x_q.shape
+    _, n = w_q.shape
+    n_kb = x_scales.shape[0]
+    assert k % n_kb == 0, (k, n_kb)
+    bk = k // n_kb
+    bm = min(block_m, _round_up(m, 32))
+    bn = _pick_block_n(n, block_n)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
+        x_scales = jnp.pad(x_scales, ((0, 0), (0, m_pad - m)), constant_values=1.0)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    n_i = m_pad // bm
+    xs_flat = x_scales.reshape(1, n_kb * m_pad)  # flat scale layout (see producer)
+    out = pl.pallas_call(
+        _mm_blockscale_kernel,
+        grid=(m_pad // bm, n // bn, n_kb),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb)),
+            pl.BlockSpec((bk, bn), lambda i, j, kb: (kb, j)),
+            pl.BlockSpec((1, bm), lambda i, j, kb, n_i=n_i: (0, kb * n_i + i)),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x_q, w_q, xs_flat, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
     return out[:m] if m_pad != m else out
 
 

@@ -160,3 +160,22 @@ def test_fused_mha_short_matches_naive_on_tpu():
     out = fused_mha_short(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), s)
     ref = _naive_attention(q, k, v, causal=False, kv_len=s)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_fused_mha_short_v2_matches_naive_interpret():
+    from team_tpu.ops.mha_short import fused_mha_short_v2
+
+    rng = np.random.default_rng(4)
+    b, h, s, d = 2, 3, 50, 16
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    out = fused_mha_short_v2(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), s,
+                             interpret=True)
+    ref = _naive_attention(q, k, v, causal=False, kv_len=s)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+    # trailing-key masking: extra padded keys must not change valid outputs
+    out2 = fused_mha_short_v2(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), 40,
+                              interpret=True)
+    ref2 = _naive_attention(q, k, v, causal=False, kv_len=40)
+    np.testing.assert_allclose(np.asarray(out2)[:, :, :40], ref2[:, :, :40], atol=2e-5)

@@ -222,3 +222,45 @@ def test_loader_native_fast_path(tmp_path, rng):
     np.testing.assert_array_equal(bn["label"], bp["label"])
     # same decoded content within resize-filter tolerance
     assert np.abs(bn["image"] - bp["image"]).mean() < 0.15
+
+
+def test_device_normalize_loader_path_is_exact(rng):
+    """device_preprocess: the loader yields uint8 and the device-side
+    /255+normalize must reproduce the host pipeline within f32 precision
+    (XLA lowers /255 as a reciprocal multiply: ~1e-7 ULP differences)."""
+    import jax.numpy as jnp
+
+    from team_tpu.data.datasets import get_idata
+    from team_tpu.data.loader import ArrayLoader
+    from team_tpu.data.manager import TeamDataset
+    from team_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+    from team_tpu.ops.preprocess import preprocess_batch
+
+    idata = get_idata("synthetic_insects", num_classes=3, img_size=32,
+                      train_per_stage=4, test_per_stage=2)
+    idata.download_data()
+    ds = TeamDataset(idata.test_data, idata.test_targets, idata.test_stages,
+                     mode="test", use_path=False)
+    host = ArrayLoader(ds, batch_size=6, image_size=32)
+    dev = ArrayLoader(ds, batch_size=6, image_size=32, device_normalize=True)
+    b_host = next(iter(host))
+    b_dev = next(iter(dev))
+    assert b_dev["image"].dtype == np.uint8
+    normalized = np.asarray(preprocess_batch(jnp.asarray(b_dev["image"]), 32))
+    np.testing.assert_allclose(normalized, b_host["image"], atol=1e-6)
+
+
+def test_backbone_runtime_accepts_uint8(rng):
+    from team_tpu.config import Config
+    from team_tpu.learners.backbone_runtime import BackboneRuntime
+
+    cfg = Config(extras={"tiny_backbone": True})
+    rt = BackboneRuntime(cfg)
+    s = rt.clip_cfg.vision.image_size
+    u8 = rng.integers(0, 256, (2, s, s, 3), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) / 255.0 - np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)) \
+        / np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+    import jax.numpy as jnp
+    a = np.asarray(rt.encode_image(jnp.asarray(u8)))
+    b = np.asarray(rt.encode_image(jnp.asarray(f32)))
+    np.testing.assert_allclose(a, b, atol=1e-6)

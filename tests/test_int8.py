@@ -147,3 +147,63 @@ def test_int8_linear_on_chip(rng):
     want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
     want = want * np.asarray(xs) * np.asarray(ws)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_ln_quantize_matches_reference(rng):
+    from team_tpu.ops.int8_matmul import ln_quantize
+
+    m, d = 45, 64
+    x = rng.standard_normal((m, d)).astype(np.float32) * 2
+    g = rng.standard_normal(d).astype(np.float32)
+    b = rng.standard_normal(d).astype(np.float32)
+    q, s = ln_quantize(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b),
+                       block_m=32, interpret=True)
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    y = (x - mu) / np.sqrt(var + 1e-5) * g + b
+    amax = np.abs(y).max(-1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0)
+    np.testing.assert_allclose(np.asarray(s)[0], scale, rtol=1e-5)
+    back = np.asarray(q, np.float32) * scale[:, None]
+    np.testing.assert_allclose(back, y, atol=np.abs(y).max() / 127.0 * 0.51 + 1e-6)
+
+
+def test_gelu_quant_and_blockscale_chain(rng):
+    """fc(gelu, fused quantize with block scales) -> proj(blockscale) must
+    match the unfused float reference to quantization error."""
+    from team_tpu.ops.int8_matmul import (
+        int8_linear_blockscale, int8_linear_gelu_quant, quantize_rows,
+        quantize_weight,
+    )
+
+    m, k, n, n2 = 40, 64, 128, 96
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w1 = rng.standard_normal((k, n)).astype(np.float32) * 0.3
+    b1 = rng.standard_normal(n).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((n, n2)).astype(np.float32) * 0.3
+    b2 = rng.standard_normal(n2).astype(np.float32) * 0.1
+
+    xq, xs = quantize_rows(jnp.asarray(x))
+    w1q, w1s = quantize_weight(jnp.asarray(w1))
+    w2q, w2s = quantize_weight(jnp.asarray(w2))
+
+    gq, gs = int8_linear_gelu_quant(xq, w1q, xs, w1s, jnp.asarray(b1),
+                                    block_m=32, block_n=32, interpret=True)
+    assert gq.shape == (m, n) and gs.shape == (n // 32, m)
+    out = int8_linear_blockscale(gq, w2q, gs, w2s, jnp.asarray(b2),
+                                 out_dtype=jnp.float32, block_m=32, block_n=32,
+                                 interpret=True)
+    # float reference (tanh-gelu to match the kernel epilogue)
+    h = np.asarray(jax.nn.gelu(x @ w1 + b1, approximate=True))
+    ref = h @ w2 + b2
+    rms = np.sqrt((ref ** 2).mean())
+    assert np.abs(np.asarray(out) - ref).mean() / rms < 0.02
+    # intermediate quantization is faithful: dequant(gq) ~ gelu output
+    deq = np.asarray(gq, np.float32)
+    for j in range(n // 32):
+        deq[:, j * 32:(j + 1) * 32] *= np.asarray(gs)[j][:, None]
+    h_from_q = np.asarray(jax.nn.gelu(
+        (np.asarray(xq, np.int32) @ np.asarray(w1q, np.int32)).astype(np.float32)
+        * np.asarray(xs) * np.asarray(w1s) + b1, approximate=True))
+    np.testing.assert_allclose(deq, h_from_q,
+                               atol=np.abs(h_from_q).max() / 127.0 + 1e-5)
