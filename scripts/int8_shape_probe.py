@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from team_tpu.ops.int8_matmul import int8_linear, quantize_rows, quantize_weight
+from team_tpu.ops.int8_matmul import (
+    int8_linear,
+    int8_linear_kgrid,
+    quantize_rows,
+    quantize_weight,
+)
 
 M = 256 * 197
 LAYERS = 12
@@ -65,10 +70,42 @@ def main():
             return x
         return f
 
-    bench(jax.jit(chain_bf16), xs, f"bf16 {which} {k}->{n}")
-    for bm, bn in ((512, 512), (1024, 512), (512, 2304), (1024, 1152), (256, 512)):
-        bench(jax.jit(make_chain_int8(bm, bn)), xs,
-              f"int8 {which} bm={bm} bn={bn}")
+    def make_chain_kgrid(bm, bn, bk):
+        def f(x):
+            for _ in range(LAYERS):
+                q, s = quantize_rows(x)
+                y = int8_linear_kgrid(q, wq, s, ws, None, block_m=bm, block_n=bn,
+                                      block_k=bk)
+                x = jnp.tanh(y[:, :k])
+            return x
+        return f
+
+    def make_chain_nq(bm, bn, bk):
+        # kernel-only (no per-layer quantize): reuse one quantized activation
+        q0, s0 = quantize_rows(xs[0])
+        def f(x):
+            q, s = quantize_rows(x)
+            y = None
+            for _ in range(LAYERS):
+                y = int8_linear_kgrid(q, wq, s, ws, None, block_m=bm, block_n=bn,
+                                      block_k=bk)
+                q = jnp.clip(y[:, :k].astype(jnp.int32), -127, 127).astype(jnp.int8)
+            return y
+        return f
+
+    mode = os.environ.get("MODE", "base")
+    if mode == "base":
+        bench(jax.jit(chain_bf16), xs, f"bf16 {which} {k}->{n}")
+        for bm, bn in ((512, 512), (1024, 512), (512, 2304), (1024, 1152), (256, 512)):
+            bench(jax.jit(make_chain_int8(bm, bn)), xs,
+                  f"int8 {which} bm={bm} bn={bn}")
+    else:
+        for bm, bn, bk in ((512, 512, 256), (512, 512, 384), (1024, 768, 384),
+                           (512, 1152, 256)):
+            bench(jax.jit(make_chain_kgrid(bm, bn, bk)), xs,
+                  f"int8-kgrid {which} bm={bm} bn={bn} bk={bk}")
+        bench(jax.jit(make_chain_nq(512, 512, 384)), xs,
+              f"int8-kgrid {which} KERNEL-ONLY bm=512 bn=512 bk=384")
 
 
 if __name__ == "__main__":

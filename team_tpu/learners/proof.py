@@ -243,6 +243,13 @@ class Learner(BaseLearner):
         )
 
     def _dataset_features(self, ds, normalize: bool = False):
+        # single-host + deterministic pipeline: serve from the run-wide frozen-
+        # feature cache (each image encoded at most once per run)
+        if jax.process_count() == 1 and self._cacheable(ds):
+            feats = self._cached_features(ds, batch_size=EVAL_BATCH)
+            if normalize:
+                feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+            return feats, ds.labels, ds.stages
         # multi-host: each process encodes only its deterministic interleaved
         # shard (backbone encode dominates per-task cost), then the shards are
         # all-gathered back into global order on every host

@@ -82,6 +82,76 @@ def _pick_block_n(n: int, target: int) -> int:
     return n
 
 
+def _kernel_kgrid(x_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, acc_ref, *,
+                  activation: Optional[str]):
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        xs = xs_ref[0, :].astype(jnp.float32)
+        ws = ws_ref[0, :].astype(jnp.float32)
+        out = (acc_ref[:].astype(jnp.float32) * xs[:, None] * ws[None, :]
+               + b_ref[0, :][None, :])
+        if activation == "gelu":
+            out = jax.nn.gelu(out, approximate=True)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "block_n", "block_k",
+                     "interpret"),
+)
+def int8_linear_kgrid(
+    x_q: jax.Array, w_q: jax.Array, x_scale: jax.Array, w_scale: jax.Array,
+    bias: Optional[jax.Array] = None, *, activation: Optional[str] = None,
+    out_dtype=jnp.bfloat16, block_m: int = 512, block_n: int = 512,
+    block_k: int = 256, interpret: bool = False,
+) -> jax.Array:
+    """K-gridded variant of :func:`int8_linear` (int32 scratch accumulator) —
+    tiling exploration; same contract."""
+    m, k = x_q.shape
+    _, n = w_q.shape
+    bm = min(block_m, _round_up(m, 32))
+    bn = _pick_block_n(n, block_n)
+    bk = _pick_block_n(k, block_k)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    xs_row = x_scale.reshape(1, -1)
+    if xs_row.shape[1] != m_pad:
+        xs_row = jnp.pad(xs_row, ((0, 0), (0, m_pad - xs_row.shape[1])),
+                         constant_values=1.0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_kgrid, activation=activation),
+        grid=(m_pad // bm, n // bn, k // bk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb)),
+            pl.BlockSpec((bk, bn), lambda i, j, kb: (kb, j)),
+            pl.BlockSpec((1, bm), lambda i, j, kb: (0, i)),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kb: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x_q, w_q, xs_row, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return out[:m] if m_pad != m else out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("activation", "out_dtype", "block_m", "block_n", "interpret"),

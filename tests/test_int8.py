@@ -207,3 +207,24 @@ def test_gelu_quant_and_blockscale_chain(rng):
         * np.asarray(xs) * np.asarray(w1s) + b1, approximate=True))
     np.testing.assert_allclose(deq, h_from_q,
                                atol=np.abs(h_from_q).max() / 127.0 + 1e-5)
+
+
+def test_int8_linear_kgrid_matches_plain(rng):
+    from team_tpu.ops.int8_matmul import int8_linear_kgrid
+
+    m, k, n = 48, 128, 96
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+    want = int8_linear(xq, wq, xs, ws, None, out_dtype=jnp.float32,
+                       block_m=16, block_n=32, interpret=True)
+    got = int8_linear_kgrid(xq, wq, xs, ws, None, out_dtype=jnp.float32,
+                            block_m=16, block_n=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    got_g = int8_linear_kgrid(xq, wq, xs, ws, None, activation="gelu",
+                              out_dtype=jnp.float32, block_m=16, block_n=32,
+                              block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_g),
+                               np.asarray(jax.nn.gelu(want, approximate=True)),
+                               rtol=1e-5, atol=1e-5)
