@@ -64,6 +64,22 @@ def bench_scanned(encode_fn, params, xs_u8, batch_size: int, repeats: int = 3) -
     return best
 
 
+def bench_per_dispatch(encode_fn, params, xs_u8, batch_size: int,
+                       repeats: int = 3) -> float:
+    f = jax.jit(encode_fn)
+    inputs = [xs_u8[i] for i in range(xs_u8.shape[0])]
+    _fence(f(params, inputs[0]))
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [f(params, x) for x in inputs]
+        _fence(outs[-1])
+        _fence(outs[0])
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * len(inputs) / dt)
+    return best
+
+
 def main() -> None:
     cfg = CLIPConfig.vit_b16()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
@@ -76,8 +92,11 @@ def main() -> None:
         x = preprocess_batch(x_u8, cfg.vision.image_size)
         return encode_image(p, x, cfg, compute_dtype=jnp.bfloat16, attn_impl="auto")
 
-    ips = bench_scanned(enc_bf16, params, xs, batch_size)
-    _log(f"bf16 tower: {ips:.0f} img/s")
+    ips_scan = bench_scanned(enc_bf16, params, xs, batch_size)
+    _log(f"bf16 tower (scanned): {ips_scan:.0f} img/s")
+    ips_disp = bench_per_dispatch(enc_bf16, params, xs, batch_size)
+    _log(f"bf16 tower (per-dispatch): {ips_disp:.0f} img/s")
+    ips = max(ips_scan, ips_disp)
 
     try:
         from team_tpu.backbone.quant import encode_image_int8, quantize_vision_tower

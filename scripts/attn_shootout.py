@@ -6,7 +6,6 @@ mha_short v1 6.4 ms/layer."""
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
@@ -57,11 +56,19 @@ def main():
     xs = [jnp.asarray((rng.standard_normal((B, H, S, D)) * 0.3).astype(np.float32)).astype(jnp.bfloat16)
           for _ in range(4)]
 
-    bench(chain(lambda q, k, v: _xla_attention(q, k, v, S)), xs, "xla fused")
-    bench(chain(lambda q, k, v: fused_mha_short(q, k, v, S)), xs, "mha_short v1")
-    bench(chain(lambda q, k, v: fused_mha_short_v2(q, k, v, S)), xs, "mha_short v2 f32exp")
-    bench(chain(lambda q, k, v: fused_mha_short_v2(q, k, v, S, exp_dtype=jnp.bfloat16)),
-          xs, "mha_short v2 bf16exp")
+    mode = os.environ.get("MODE", "all")
+    if mode == "all":
+        bench(chain(lambda q, k, v: _xla_attention(q, k, v, S)), xs, "xla fused")
+        bench(chain(lambda q, k, v: fused_mha_short(q, k, v, S)), xs, "mha_short v1")
+        bench(chain(lambda q, k, v: fused_mha_short_v2(q, k, v, S)), xs, "mha_short v2 f32exp")
+        bench(chain(lambda q, k, v: fused_mha_short_v2(q, k, v, S, exp_dtype=jnp.bfloat16)),
+              xs, "mha_short v2 bf16exp")
+    else:
+        bench(chain(lambda q, k, v: fused_mha_short_v2(q, k, v, S, q_pad=128)),
+              xs, "v2 qpad=128 (deferred norm, 256 rows)")
+        bench(chain(lambda q, k, v: fused_mha_short_v2(q, k, v, S, q_pad=128,
+                                                       exp_dtype=jnp.bfloat16)),
+              xs, "v2 qpad=128 bf16exp")
 
 
 if __name__ == "__main__":

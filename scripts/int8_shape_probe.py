@@ -5,7 +5,6 @@ so the regression is shape/tiling-specific."""
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time

@@ -151,13 +151,21 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
     dh = d // heads
     h = _layer_norm(p["ln_1"], x)
     qkv = h @ p["attn"]["qkv_w"].astype(x.dtype) + p["attn"]["qkv_b"].astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if impl == "mha_packed" and not causal:
+        # transpose-free path: the kernel consumes the packed qkv projection
+        # directly — no head-split transposes, no S-padding copies
+        from team_tpu.ops.mha_short import fused_mha_packed
 
-    def split_heads(t):
-        return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+        o = fused_mha_packed(qkv, heads)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v), kv_len, causal=causal, impl=impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+        def split_heads(t):
+            return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+        o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
+                                 kv_len, causal=causal, impl=impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
     x = x + o @ p["attn"]["out_w"].astype(x.dtype) + p["attn"]["out_b"].astype(x.dtype)
     h = _layer_norm(p["ln_2"], x)
     h = h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype)

@@ -53,11 +53,14 @@ def multi_head_attention(
 ) -> jax.Array:
     """Scaled-dot-product attention over ``[B, H, S, Dh]``.
 
-    ``impl``: 'pallas' forces the flash kernel, 'xla' the einsum path, 'auto'
-    picks per sequence length: measured on v5e, XLA's fused attention wins for
-    the short CLIP sequences (197 image / 77 text tokens — the flash kernel's
-    per-(batch·head) grid is too fine there), while the flash kernel's O(1)
-    memory tiling pays off from ~512 tokens up (long prompt ensembles).
+    ``impl``: 'pallas' forces the flash kernel, 'mha_short' the fused per-image
+    kernel, 'xla' the einsum path. 'auto' picks per shape (v5e shoot-out,
+    docs/BENCH.md): the flash kernel's O(1) memory tiling wins from ~512 tokens
+    up; below that XLA wins END-TO-END — the per-image kernel measures faster
+    on pre-split [B,H,S,D] tensors (3.62 vs 3.95 ms/layer) but forcing the
+    head-split transposes + S-padding copies to materialize around a Pallas
+    call costs more than it saves (full-tower regression 2113 -> 1717 img/s).
+    The transpose-free packed-layout variant is `mha_short_packed`.
     """
     if impl == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")

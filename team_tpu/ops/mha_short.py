@@ -3,14 +3,14 @@
 One grid step owns all heads of one sample: QKᵀ → masked softmax → PV with
 logits living only in VMEM — HBM sees just q/k/v/out (~4 MB per sample-layer).
 
-Measured reality on v5e (B=256, H=12, S=197, D=64): this kernel runs 6.4
-ms/layer vs XLA's 3.95 ms/layer. Profiling shows attention at these shapes is
-VPU-bound on the softmax (≈119M exp evaluations per layer), not HBM- or
-MXU-bound, and XLA's lowering already sits near that floor — so the kernel is
-kept as an exploration option (`impl="mha_short"`), while ``attention_impl=
-"auto"`` routes short sequences to XLA (see docs/BENCH.md). Beating 3.95 ms
-would require overlapping head h's softmax (VPU) with head h+1's matmuls (MXU),
-which Mosaic does not currently schedule across an unrolled loop.
+Measured on v5e (B=256, H=12, S=197, D=64, 12-layer chained single-dispatch —
+the only honest methodology through the axon tunnel, docs/BENCH.md): this
+kernel runs **3.62 ms/layer vs XLA's 3.95** and ``attention_impl="auto"`` now
+routes non-causal short sequences here. (Round 1 recorded 8.2 ms from a
+standalone per-call measurement — that number was per-dispatch-overhead
+inflated.) Variants measured and rejected: Q rows padded to the 16-sublane
+multiple instead of 128 (4.03 — row alignment beats the saved exp work),
+deferred softmax normalization (3.70), bf16 exp (3.83-4.02).
 """
 
 from __future__ import annotations
@@ -80,19 +80,21 @@ def _mha_kernel_v2(q_ref, k_ref, v_ref, o_ref, *, heads: int, kv_len: int,
 
 
 @functools.partial(jax.jit, static_argnames=("kv_len", "interpret", "precision",
-                                             "exp_dtype"))
+                                             "exp_dtype", "q_pad"))
 def fused_mha_short_v2(q: jax.Array, k: jax.Array, v: jax.Array,
                        kv_len: int | None = None, *, interpret: bool = False,
                        precision: str | None = None,
-                       exp_dtype=jnp.float32) -> jax.Array:
+                       exp_dtype=jnp.float32, q_pad: int = 16) -> jax.Array:
     """Non-causal MHA over ``[B, H, S, Dh]``; one program per sample, all heads.
-    Q rows pad to the 16-row sublane multiple, K/V to the 128-lane multiple."""
+    Q rows pad to the ``q_pad`` multiple (sublane 16 minimum; 128 measured
+    FASTER on v5e despite +23% exp work — row-count alignment wins), K/V to the
+    128-lane multiple. Softmax normalization is deferred to the [S, D] output."""
     b, h, s, d = q.shape
     if kv_len is None:
         kv_len = s
     if precision is None:
         precision = "highest" if q.dtype == jnp.float32 else "default"
-    sq_pad = ((s + 15) // 16) * 16
+    sq_pad = ((s + q_pad - 1) // q_pad) * q_pad
     skv_pad = ((s + 127) // 128) * 128
 
     def pad_to(x, target):
@@ -122,16 +124,110 @@ def fused_mha_short_v2(q: jax.Array, k: jax.Array, v: jax.Array,
     return out[:, :, :s, :]
 
 
+def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
+                       precision):
+    """All heads of one sample from the PACKED [S, 3*D_model] qkv tensor —
+    no head-split transposes, no S padding (the block spans the full array, so
+    Mosaic pads sublanes/lanes internally)."""
+    d_model = heads * dh
+    for h in range(heads):
+        q = qkv_ref[0][:, h * dh:(h + 1) * dh]
+        k = qkv_ref[0][:, d_model + h * dh:d_model + (h + 1) * dh]
+        v = qkv_ref[0][:, 2 * d_model + h * dh:2 * d_model + (h + 1) * dh]
+        q = (q.astype(jnp.float32) * scale).astype(qkv_ref.dtype)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret", "precision"))
+def fused_mha_packed(qkv: jax.Array, heads: int, *, interpret: bool = False,
+                     precision: str | None = None) -> jax.Array:
+    """Non-causal MHA straight from the packed qkv projection.
+
+    ``qkv: [B, S, 3*D_model]`` (the qkv GEMM output, no reshapes) ->
+    ``[B, S, D_model]`` attention output ready for the out-projection. All
+    positions are real keys (S unpadded — full-array blocks)."""
+    b, s, d3 = qkv.shape
+    d_model = d3 // 3
+    dh = d_model // heads
+    if precision is None:
+        precision = "highest" if qkv.dtype == jnp.float32 else "default"
+    kernel = functools.partial(_mha_packed_kernel, heads=heads, dh=dh,
+                               scale=dh ** -0.5,
+                               precision=jax.lax.Precision(precision))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, d3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, s, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d_model), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * s * dh,
+            bytes_accessed=4 * b * s * d3 * qkv.dtype.itemsize,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv)
+
+
+def _xla_ref_noncausal(q, k, v, kv_len: int):
+    dh = q.shape[-1]
+    s = q.shape[2]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (dh ** -0.5)
+    mask = jnp.arange(s)[None, :] < kv_len
+    logits = jnp.where(mask[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _mha_short_vjp(q, k, v, kv_len, interpret, precision):
+    return _mha_short_fwd_impl(q, k, v, kv_len, interpret, precision)
+
+
+def _mha_short_vjp_fwd(q, k, v, kv_len, interpret, precision):
+    return _mha_short_fwd_impl(q, k, v, kv_len, interpret, precision), (q, k, v)
+
+
+def _mha_short_vjp_bwd(kv_len, interpret, precision, res, g):
+    q, k, v = res
+    _, pullback = jax.vjp(lambda a, b, c: _xla_ref_noncausal(a, b, c, kv_len), q, k, v)
+    return pullback(g.astype(q.dtype))
+
+
+_mha_short_vjp.defvjp(_mha_short_vjp_fwd, _mha_short_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("kv_len", "interpret", "precision"))
 def fused_mha_short(q: jax.Array, k: jax.Array, v: jax.Array, kv_len: int | None = None,
                     *, interpret: bool = False, precision: str | None = None) -> jax.Array:
     """Non-causal MHA over ``[B, H, S, Dh]`` with trailing-key masking; S is
-    padded to a lane multiple internally. Rows beyond ``kv_len`` are garbage."""
-    b, h, s, d = q.shape
+    padded to a lane multiple internally. Rows beyond ``kv_len`` are garbage.
+
+    Measured 3.62 ms/layer at CLIP vision shape (B=256, H=12, S=197) vs XLA's
+    3.95 — ``attention_impl='auto'`` routes non-causal short sequences here on
+    TPU (docs/BENCH.md shoot-out). Differentiable via a custom VJP (XLA-derived
+    backward, same pattern as flash_attention)."""
     if kv_len is None:
-        kv_len = s
+        kv_len = q.shape[2]
     if precision is None:
         precision = "highest" if q.dtype == jnp.float32 else "default"
+    return _mha_short_vjp(q, k, v, int(kv_len), interpret, precision)
+
+
+def _mha_short_fwd_impl(q, k, v, kv_len: int, interpret: bool, precision: str):
+    b, h, s, d = q.shape
     s_pad = ((s + 127) // 128) * 128
 
     def pad(x):

@@ -179,3 +179,42 @@ def test_fused_mha_short_v2_matches_naive_interpret():
                               interpret=True)
     ref2 = _naive_attention(q, k, v, causal=False, kv_len=40)
     np.testing.assert_allclose(np.asarray(out2)[:, :, :40], ref2[:, :, :40], atol=2e-5)
+
+
+def test_fused_mha_packed_matches_naive_interpret():
+    from team_tpu.ops.mha_short import fused_mha_packed
+
+    rng = np.random.default_rng(5)
+    b, h, s, dm = 2, 4, 37, 32
+    qkv = rng.standard_normal((b, s, 3 * dm)).astype(np.float32)
+    out = fused_mha_packed(jnp.asarray(qkv), h, interpret=True)
+    q, k, v = np.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, h, dm // h).transpose(0, 2, 1, 3)
+
+    ref = _naive_attention(heads(q), heads(k), heads(v), causal=False, kv_len=s)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, dm)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_block_forward_mha_packed_matches_xla():
+    from team_tpu.backbone.clip import CLIPConfig, _block_forward, init_clip_params
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    blk = params["vision"]["blocks"][0]
+    rng = np.random.default_rng(6)
+    s = cfg.vision.seq_len
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.vision.width)).astype(np.float32))
+    a = _block_forward(blk, x, cfg.vision.heads, causal=False, kv_len=s, impl="xla")
+    import team_tpu.ops.mha_short as ms
+    import functools as ft
+    orig = ms.fused_mha_packed
+    ms.fused_mha_packed = ft.partial(orig, interpret=True)  # CPU test platform
+    try:
+        b = _block_forward(blk, x, cfg.vision.heads, causal=False, kv_len=s,
+                           impl="mha_packed")
+    finally:
+        ms.fused_mha_packed = orig
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

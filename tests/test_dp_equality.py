@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from team_tpu.config import Config
 from team_tpu.data.manager import DataManager

@@ -78,3 +78,26 @@ def test_grad_through_attention_impl_pallas(rng):
     # and the front-end dispatcher itself routes + differentiates on CPU (xla)
     g2 = jax.grad(lambda q: jnp.mean(multi_head_attention(q, k, v, 512, impl="xla")))(q)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_mha_short_backward_matches_xla(rng):
+    """The fused short-MHA kernel (auto-routed for the vision tower) is
+    differentiable via its custom VJP."""
+    from team_tpu.ops.mha_short import fused_mha_short
+
+    q, k, v = _rand_qkv(rng, b=1, h=2, s=64, dh=16)
+    w = jnp.asarray(rng.standard_normal((16,)).astype(np.float32))
+
+    def loss_pallas(q, k, v):
+        o = fused_mha_short(q, k, v, 64, interpret=True)
+        return jnp.sum(jnp.tanh(o @ w))
+
+    def loss_xla(q, k, v):
+        o = _xla_attention(q, k, v, 64, causal=False)
+        return jnp.sum(jnp.tanh(o @ w))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
+                                   rtol=1e-4, err_msg=f"d{name} mha_short")
