@@ -151,6 +151,15 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
     dh = d // heads
     h = _layer_norm(p["ln_1"], x)
     qkv = h @ p["attn"]["qkv_w"].astype(x.dtype) + p["attn"]["qkv_b"].astype(x.dtype)
+    if impl == "auto" and not causal and s < 512:
+        # v5e block-level shoot-out (docs/BENCH.md): the transpose-free packed
+        # kernel runs the whole block at 7.90 ms/layer vs 10.51 with XLA
+        # attention (B=256, S=197) — the head-split transposes XLA materializes
+        # around its einsum cost more than the attention itself
+        import jax as _jax
+
+        if _jax.default_backend() in ("tpu", "axon"):
+            impl = "mha_packed"
     if impl == "mha_packed" and not causal:
         # transpose-free path: the kernel consumes the packed qkv projection
         # directly — no head-split transposes, no S-padding copies

@@ -83,14 +83,21 @@ def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
                          qb["ln_1"]["bias"], interpret=interpret)
     qkv = int8_linear(hq, qb["qkv"]["w_q"], hs, qb["qkv"]["scale"], qb["qkv"]["b"],
                       interpret=interpret).reshape(b, s, 3 * d)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if attn_impl == "auto" and s < 512 and jax.default_backend() in ("tpu", "axon"):
+        attn_impl = "mha_packed"  # transpose-free packed kernel (see clip.py)
+    if attn_impl == "mha_packed":
+        from team_tpu.ops.mha_short import fused_mha_packed
 
-    def split_heads(t):
-        return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+        o = fused_mha_packed(qkv, heads, interpret=interpret).reshape(b * s, d)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
-                             kv_len, causal=False, impl=attn_impl)
-    o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+        def split_heads(t):
+            return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+        o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
+                                 kv_len, causal=False, impl=attn_impl)
+        o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
     x = x + _qlinear(o, qb["out"], interpret=interpret).reshape(b, s, d)
 
     hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_2"]["scale"],
