@@ -54,11 +54,15 @@ def main():
             return x
         return f
 
-    bench(chain("xla"), xs, "block x12, XLA attention")
-    bench(chain("mha_packed"), xs, "block x12, packed Pallas attention")
+    import os as _os
+    mode = _os.environ.get("MODE", "all")
+    if mode == "all":
+        bench(chain("xla"), xs, "block x12, XLA attention")
+        bench(chain("mha_packed"), xs, "block x12, packed Pallas attention")
+    bench(chain("attn_block"), xs, "block x12, fused attention sub-block")
     # numerics spot check
     a = chain("xla")(xs[0])
-    b = chain("mha_packed")(xs[0])
+    b = chain("attn_block")(xs[0])
     diff = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
     print(f"max |xla - packed| after 12 layers: {diff:.3e}", flush=True)
 

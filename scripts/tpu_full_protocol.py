@@ -4,6 +4,8 @@
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 
 from team_tpu.config import Config
@@ -24,12 +26,12 @@ def main():
     res = train(cfg)
     print(f"full protocol done in {time.time() - t0:.1f}s")
     print("top1 curve:", res["cnn_top1"])
-    print("avg:", res["avg_acc"])
+    avg = float(np.mean(res["avg_acc"]))  # one entry per seed
+    print("avg:", avg)
     # learning-signal regression floor (round-1 verdict item 10): this config
-    # measures ~28% avg incremental accuracy vs 5% chance (docs/BENCH.md); a
+    # measures ~27% avg incremental accuracy vs 5% chance (docs/BENCH.md); a
     # silent numerics regression must turn this run red.
-    assert res["avg_acc"] >= 20.0, (
-        f"avg accuracy {res['avg_acc']} fell below the 20% floor (chance 5%)")
+    assert avg >= 20.0, f"avg accuracy {avg} fell below the 20% floor (chance 5%)"
     print("regression floor (>=20% avg) OK")
 
 

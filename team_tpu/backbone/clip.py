@@ -149,9 +149,22 @@ def _layer_norm(p: Params, x: jax.Array) -> jax.Array:
 def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len, impl: str) -> jax.Array:
     b, s, d = x.shape
     dh = d // heads
+    if impl == "attn_block":
+        # whole attention sub-block (LN -> qkv -> attention -> out-proj ->
+        # residual) in one Pallas call; qkv/attention activations never reach HBM
+        from team_tpu.ops.mha_short import fused_attn_block
+
+        x = fused_attn_block(
+            x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+            p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+            p["attn"]["out_w"], p["attn"]["out_b"], heads, causal=causal)
+        h = _layer_norm(p["ln_2"], x)
+        h = h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        return x + h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
     h = _layer_norm(p["ln_1"], x)
     qkv = h @ p["attn"]["qkv_w"].astype(x.dtype) + p["attn"]["qkv_b"].astype(x.dtype)
-    if impl == "auto" and not causal and s < 512:
+    if impl == "auto" and s < 512:
         # v5e block-level shoot-out (docs/BENCH.md): the transpose-free packed
         # kernel runs the whole block at 7.90 ms/layer vs 10.51 with XLA
         # attention (B=256, S=197) — the head-split transposes XLA materializes
@@ -160,12 +173,12 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
 
         if _jax.default_backend() in ("tpu", "axon"):
             impl = "mha_packed"
-    if impl == "mha_packed" and not causal:
+    if impl == "mha_packed":
         # transpose-free path: the kernel consumes the packed qkv projection
         # directly — no head-split transposes, no S-padding copies
         from team_tpu.ops.mha_short import fused_mha_packed
 
-        o = fused_mha_packed(qkv, heads)
+        o = fused_mha_packed(qkv, heads, causal=causal)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
 

@@ -125,11 +125,16 @@ def fused_mha_short_v2(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
-                       precision):
+                       causal: bool, precision):
     """All heads of one sample from the PACKED [S, 3*D_model] qkv tensor —
     no head-split transposes, no S padding (the block spans the full array, so
     Mosaic pads sublanes/lanes internally)."""
     d_model = heads * dh
+    s = qkv_ref.shape[1]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_mask = cols <= rows
     for h in range(heads):
         q = qkv_ref[0][:, h * dh:(h + 1) * dh]
         k = qkv_ref[0][:, d_model + h * dh:d_model + (h + 1) * dh]
@@ -139,6 +144,8 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=precision,
         )
+        if causal:
+            logits = jnp.where(causal_mask, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -149,21 +156,24 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
         o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret", "precision"))
-def fused_mha_packed(qkv: jax.Array, heads: int, *, interpret: bool = False,
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret",
+                                             "precision"))
+def fused_mha_packed(qkv: jax.Array, heads: int, *, causal: bool = False,
+                     interpret: bool = False,
                      precision: str | None = None) -> jax.Array:
-    """Non-causal MHA straight from the packed qkv projection.
+    """MHA straight from the packed qkv projection.
 
     ``qkv: [B, S, 3*D_model]`` (the qkv GEMM output, no reshapes) ->
     ``[B, S, D_model]`` attention output ready for the out-projection. All
-    positions are real keys (S unpadded — full-array blocks)."""
+    positions are real keys (S unpadded — full-array blocks); ``causal=True``
+    applies the autoregressive mask (the CLIP text tower)."""
     b, s, d3 = qkv.shape
     d_model = d3 // 3
     dh = d_model // heads
     if precision is None:
         precision = "highest" if qkv.dtype == jnp.float32 else "default"
     kernel = functools.partial(_mha_packed_kernel, heads=heads, dh=dh,
-                               scale=dh ** -0.5,
+                               scale=dh ** -0.5, causal=causal,
                                precision=jax.lax.Precision(precision))
     return pl.pallas_call(
         kernel,
@@ -178,6 +188,99 @@ def fused_mha_packed(qkv: jax.Array, heads: int, *, interpret: bool = False,
             transcendentals=b * heads * s * s,
         ),
     )(qkv)
+
+
+def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+                       bout_ref, o_ref, *, heads: int, dh: int, scale: float,
+                       causal: bool, precision):
+    """The ENTIRE attention sub-block of a transformer layer in one program:
+    LN -> qkv GEMM -> per-head attention -> out-projection -> residual.
+    Weights stay VMEM-resident across the grid; the qkv tensor, attention
+    outputs and LN activations never touch HBM."""
+    d_model = heads * dh
+    x32 = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    h = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * lng_ref[0, :][None, :] + lnb_ref[0, :][None, :]).astype(x_ref.dtype)
+    qkv = jax.lax.dot_general(
+        h, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + bqkv_ref[0, :][None, :]
+    qkv = qkv.astype(x_ref.dtype)
+
+    s = x_ref.shape[1]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_mask = cols <= rows
+    outs = []
+    for hd in range(heads):
+        q = (qkv[:, hd * dh:(hd + 1) * dh].astype(jnp.float32) * scale).astype(x_ref.dtype)
+        k = qkv[:, d_model + hd * dh:d_model + (hd + 1) * dh]
+        v = qkv[:, 2 * d_model + hd * dh:2 * d_model + (hd + 1) * dh]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if causal:
+            logits = jnp.where(causal_mask, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(x_ref.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(x_ref.dtype))
+    o = jnp.concatenate(outs, axis=-1)  # [S, D]
+    proj = jax.lax.dot_general(
+        o, wout_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + bout_ref[0, :][None, :]
+    o_ref[0] = (x32 + proj).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret",
+                                             "precision"))
+def fused_attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                     qkv_w: jax.Array, qkv_b: jax.Array, out_w: jax.Array,
+                     out_b: jax.Array, heads: int, *, causal: bool = False,
+                     interpret: bool = False,
+                     precision: str | None = None) -> jax.Array:
+    """``x + out_proj(attention(qkv(LN(x))))`` over ``[B, S, D]`` in one
+    Pallas call per image (see `_attn_block_kernel`)."""
+    b, s, d = x.shape
+    dh = d // heads
+    if precision is None:
+        precision = "highest" if x.dtype == jnp.float32 else "default"
+    kernel = functools.partial(_attn_block_kernel, heads=heads, dh=dh,
+                               scale=dh ** -0.5, causal=causal,
+                               precision=jax.lax.Precision(precision))
+    dt = x.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0)),
+            pl.BlockSpec((1, 3 * d), lambda i: (0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * s * d * 3 * d + 4 * b * heads * s * s * dh + 2 * b * s * d * d,
+            bytes_accessed=2 * b * s * d * dt.itemsize + (4 * d * d) * dt.itemsize,
+            transcendentals=b * heads * s * s,
+        ),
+    )(x, ln_scale.reshape(1, d).astype(jnp.float32),
+      ln_bias.reshape(1, d).astype(jnp.float32),
+      qkv_w.astype(dt), qkv_b.reshape(1, 3 * d).astype(jnp.float32),
+      out_w.astype(dt), out_b.reshape(1, d).astype(jnp.float32))
 
 
 def _xla_ref_noncausal(q, k, v, kv_len: int):

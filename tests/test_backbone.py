@@ -218,3 +218,70 @@ def test_block_forward_mha_packed_matches_xla():
     finally:
         ms.fused_mha_packed = orig
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_fused_mha_packed_causal_interpret():
+    from team_tpu.ops.mha_short import fused_mha_packed
+
+    rng = np.random.default_rng(7)
+    b, h, s, dm = 2, 2, 21, 16
+    qkv = rng.standard_normal((b, s, 3 * dm)).astype(np.float32)
+    out = fused_mha_packed(jnp.asarray(qkv), h, causal=True, interpret=True)
+    q, k, v = np.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, s, h, dm // h).transpose(0, 2, 1, 3)
+
+    ref = _naive_attention(heads(q), heads(k), heads(v), causal=True, kv_len=s)
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, dm)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_fused_attn_block_matches_block_forward():
+    from team_tpu.backbone.clip import CLIPConfig, _block_forward, init_clip_params
+    import team_tpu.ops.mha_short as ms
+    import functools as ft
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(2), cfg)
+    blk = params["vision"]["blocks"][0]
+    rng = np.random.default_rng(8)
+    s = cfg.vision.seq_len
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.vision.width)).astype(np.float32))
+    want = _block_forward(blk, x, cfg.vision.heads, causal=False, kv_len=s, impl="xla")
+    orig = ms.fused_attn_block
+    ms.fused_attn_block = ft.partial(orig, interpret=True)
+    try:
+        got = _block_forward(blk, x, cfg.vision.heads, causal=False, kv_len=s,
+                             impl="attn_block")
+    finally:
+        ms.fused_attn_block = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+    # causal variant too
+    want_c = _block_forward(blk, x, cfg.vision.heads, causal=True, kv_len=s, impl="xla")
+    ms.fused_attn_block = ft.partial(orig, interpret=True)
+    try:
+        got_c = _block_forward(blk, x, cfg.vision.heads, causal=True, kv_len=s,
+                               impl="attn_block")
+    finally:
+        ms.fused_attn_block = orig
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), atol=5e-5)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="compiled packed-attention kernels run on TPU")
+def test_fused_packed_kernels_on_tpu():
+    from team_tpu.backbone.clip import CLIPConfig, _block_forward, init_clip_params
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(2), cfg)
+    blk = params["vision"]["blocks"][0]
+    rng = np.random.default_rng(9)
+    s = cfg.vision.seq_len
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.vision.width)).astype(np.float32))
+    want = np.asarray(_block_forward(blk, x, cfg.vision.heads, causal=False,
+                                     kv_len=s, impl="xla"))
+    for impl in ("mha_packed", "attn_block"):
+        got = np.asarray(_block_forward(blk, x, cfg.vision.heads, causal=False,
+                                        kv_len=s, impl=impl))
+        np.testing.assert_allclose(got, want, atol=1e-4, err_msg=impl)
