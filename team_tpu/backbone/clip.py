@@ -165,10 +165,12 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
     h = _layer_norm(p["ln_1"], x)
     qkv = h @ p["attn"]["qkv_w"].astype(x.dtype) + p["attn"]["qkv_b"].astype(x.dtype)
     if impl == "auto" and s < 512:
-        # v5e block-level shoot-out (docs/BENCH.md): the transpose-free packed
-        # kernel runs the whole block at 7.90 ms/layer vs 10.51 with XLA
-        # attention (B=256, S=197) — the head-split transposes XLA materializes
-        # around its einsum cost more than the attention itself
+        # v5e shoot-outs (docs/BENCH.md): the packed-qkv kernel wins END-TO-END
+        # (2983 img/s vs 2187 XLA-attention / 2187 attn_block). The fully-fused
+        # attention sub-block ('attn_block') measures faster in ISOLATED block
+        # chains (7.77 vs 7.90 ms/layer) but regresses the full tower — its
+        # VMEM-resident weights cost XLA cross-op pipelining. End-to-end bench
+        # is the routing authority.
         import jax as _jax
 
         if _jax.default_backend() in ("tpu", "axon"):

@@ -156,6 +156,44 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
         o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
+def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool) -> jax.Array:
+    """XLA equivalent of the packed kernel (drives the custom VJP backward)."""
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def hsplit(t):
+        return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = hsplit(q), hsplit(k), hsplit(v)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * (dh ** -0.5)
+    if causal:
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        logits = jnp.where(mask[None, None], logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _mha_packed_vjp(qkv, heads, causal, interpret, precision):
+    return _mha_packed_fwd_impl(qkv, heads, causal, interpret, precision)
+
+
+def _mha_packed_vjp_fwd(qkv, heads, causal, interpret, precision):
+    return _mha_packed_fwd_impl(qkv, heads, causal, interpret, precision), qkv
+
+
+def _mha_packed_vjp_bwd(heads, causal, interpret, precision, qkv, g):
+    _, pullback = jax.vjp(lambda t: _xla_packed_reference(t, heads, causal), qkv)
+    return pullback(g.astype(qkv.dtype))
+
+
+_mha_packed_vjp.defvjp(_mha_packed_vjp_fwd, _mha_packed_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret",
                                              "precision"))
 def fused_mha_packed(qkv: jax.Array, heads: int, *, causal: bool = False,
@@ -166,12 +204,18 @@ def fused_mha_packed(qkv: jax.Array, heads: int, *, causal: bool = False,
     ``qkv: [B, S, 3*D_model]`` (the qkv GEMM output, no reshapes) ->
     ``[B, S, D_model]`` attention output ready for the out-projection. All
     positions are real keys (S unpadded — full-array blocks); ``causal=True``
-    applies the autoregressive mask (the CLIP text tower)."""
+    applies the autoregressive mask (the CLIP text tower). Differentiable via
+    a custom VJP (XLA-derived backward — Grad-CAM and fine-tuning paths)."""
+    if precision is None:
+        precision = "highest" if qkv.dtype == jnp.float32 else "default"
+    return _mha_packed_vjp(qkv, heads, causal, interpret, precision)
+
+
+def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
+                         interpret: bool, precision: str) -> jax.Array:
     b, s, d3 = qkv.shape
     d_model = d3 // 3
     dh = d_model // heads
-    if precision is None:
-        precision = "highest" if qkv.dtype == jnp.float32 else "default"
     kernel = functools.partial(_mha_packed_kernel, heads=heads, dh=dh,
                                scale=dh ** -0.5, causal=causal,
                                precision=jax.lax.Precision(precision))
@@ -240,6 +284,47 @@ def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
     o_ref[0] = (x32 + proj).astype(o_ref.dtype)
 
 
+def _xla_attn_block_reference(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b,
+                              heads: int, causal: bool) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    h = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    h = (h * ln_scale + ln_bias).astype(x.dtype)
+    qkv = (jnp.einsum("bsd,de->bse", h, qkv_w.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+           + qkv_b).astype(x.dtype)
+    o = _xla_packed_reference(qkv, heads, causal)
+    proj = jnp.einsum("bsd,de->bse", o, out_w.astype(x.dtype),
+                      preferred_element_type=jnp.float32) + out_b
+    return (x32 + proj).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _attn_block_vjp(x, lng, lnb, wqkv, bqkv, wout, bout, heads, causal,
+                    interpret, precision):
+    return _attn_block_fwd_impl(x, lng, lnb, wqkv, bqkv, wout, bout, heads,
+                                causal, interpret, precision)
+
+
+def _attn_block_vjp_fwd(x, lng, lnb, wqkv, bqkv, wout, bout, heads, causal,
+                        interpret, precision):
+    out = _attn_block_fwd_impl(x, lng, lnb, wqkv, bqkv, wout, bout, heads,
+                               causal, interpret, precision)
+    return out, (x, lng, lnb, wqkv, bqkv, wout, bout)
+
+
+def _attn_block_vjp_bwd(heads, causal, interpret, precision, res, g):
+    x, lng, lnb, wqkv, bqkv, wout, bout = res
+    _, pullback = jax.vjp(
+        lambda *ops: _xla_attn_block_reference(*ops, heads, causal),
+        x, lng, lnb, wqkv, bqkv, wout, bout)
+    return pullback(g.astype(x.dtype))
+
+
+_attn_block_vjp.defvjp(_attn_block_vjp_fwd, _attn_block_vjp_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret",
                                              "precision"))
 def fused_attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
@@ -248,11 +333,19 @@ def fused_attn_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                      interpret: bool = False,
                      precision: str | None = None) -> jax.Array:
     """``x + out_proj(attention(qkv(LN(x))))`` over ``[B, S, D]`` in one
-    Pallas call per image (see `_attn_block_kernel`)."""
-    b, s, d = x.shape
-    dh = d // heads
+    Pallas call per image (see `_attn_block_kernel`). Differentiable via a
+    custom VJP (XLA-derived backward over the identical composition)."""
     if precision is None:
         precision = "highest" if x.dtype == jnp.float32 else "default"
+    return _attn_block_vjp(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b,
+                           heads, causal, interpret, precision)
+
+
+def _attn_block_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b,
+                         heads: int, causal: bool, interpret: bool,
+                         precision: str) -> jax.Array:
+    b, s, d = x.shape
+    dh = d // heads
     kernel = functools.partial(_attn_block_kernel, heads=heads, dh=dh,
                                scale=dh ** -0.5, causal=causal,
                                precision=jax.lax.Precision(precision))

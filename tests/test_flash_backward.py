@@ -101,3 +101,44 @@ def test_mha_short_backward_matches_xla(rng):
     for a, b_, name in zip(gp, gx, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
                                    rtol=1e-4, err_msg=f"d{name} mha_short")
+
+
+def test_packed_kernels_backward(rng):
+    """Grad-CAM differentiates through the tower: the packed kernels must have
+    working custom VJPs matching the XLA composition."""
+    import functools as ft
+
+    from team_tpu.ops.mha_short import (
+        _xla_attn_block_reference,
+        _xla_packed_reference,
+        fused_attn_block,
+        fused_mha_packed,
+    )
+
+    b, h, s, dm = 2, 2, 21, 16
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * dm)).astype(np.float32))
+
+    for causal in (False, True):
+        gp = jax.grad(lambda t: jnp.sum(jnp.tanh(
+            fused_mha_packed(t, h, causal=causal, interpret=True))))(qkv)
+        gx = jax.grad(lambda t: jnp.sum(jnp.tanh(
+            _xla_packed_reference(t, h, causal))))(qkv)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4,
+                                   rtol=1e-4, err_msg=f"packed causal={causal}")
+
+    d = dm
+    x = jnp.asarray(rng.standard_normal((b, s, d)).astype(np.float32))
+    lng = jnp.ones((d,))
+    lnb = jnp.zeros((d,))
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)).astype(np.float32) * 0.2)
+    bqkv = jnp.zeros((3 * d,))
+    wout = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.2)
+    bout = jnp.zeros((d,))
+
+    f_k = lambda x_: jnp.sum(jnp.tanh(fused_attn_block(
+        x_, lng, lnb, wqkv, bqkv, wout, bout, h, interpret=True)))
+    f_x = lambda x_: jnp.sum(jnp.tanh(_xla_attn_block_reference(
+        x_, lng, lnb, wqkv, bqkv, wout, bout, h, False)))
+    np.testing.assert_allclose(np.asarray(jax.grad(f_k)(x)),
+                               np.asarray(jax.grad(f_x)(x)),
+                               atol=1e-4, rtol=1e-4, err_msg="attn_block dx")
