@@ -20,6 +20,7 @@ import numpy as np
 from team_tpu.ops.int8_matmul import (
     int8_linear,
     int8_linear_kgrid,
+    int8_linear_nk,
     quantize_rows,
     quantize_weight,
 )
@@ -92,7 +93,23 @@ def main():
             return y
         return f
 
+    wtq = jnp.asarray(np.ascontiguousarray(np.asarray(wq).T))
+
+    def make_chain_nk(bm, bn):
+        def f(x):
+            for _ in range(LAYERS):
+                q, s = quantize_rows(x)
+                y = int8_linear_nk(q, wtq, s, ws, None, block_m=bm, block_n=bn)
+                x = jnp.tanh(y[:, :k])
+            return x
+        return f
+
     mode = os.environ.get("MODE", "base")
+    if mode == "nk":
+        for bm, bn in ((512, 512), (512, 1152), (1024, 768)):
+            bench(jax.jit(make_chain_nk(bm, bn)), xs,
+                  f"int8-nk {which} bm={bm} bn={bn}")
+        return
     if mode == "base":
         bench(jax.jit(chain_bf16), xs, f"bf16 {which} {k}->{n}")
         for bm, bn in ((512, 512), (1024, 512), (512, 2304), (1024, 1152), (256, 512)):

@@ -175,6 +175,16 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
 
         if _jax.default_backend() in ("tpu", "axon"):
             impl = "mha_packed"
+    if impl == "mha_packed_proj":
+        # packed attention + fused out-projection + residual in one call
+        from team_tpu.ops.mha_short import fused_mha_packed_proj
+
+        x = fused_mha_packed_proj(qkv, p["attn"]["out_w"], p["attn"]["out_b"],
+                                  x, heads, causal=causal)
+        h = _layer_norm(p["ln_2"], x)
+        h = h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        return x + h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
     if impl == "mha_packed":
         # transpose-free path: the kernel consumes the packed qkv projection
         # directly — no head-split transposes, no S-padding copies

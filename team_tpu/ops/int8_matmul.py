@@ -82,6 +82,68 @@ def _pick_block_n(n: int, target: int) -> int:
     return n
 
 
+def _kernel_nk(x_ref, wt_ref, xs_ref, ws_ref, b_ref, o_ref, *,
+               activation: Optional[str]):
+    # rhs in [N, K] (k-minor) layout; both operands contract on their last dim
+    acc = jax.lax.dot_general(
+        x_ref[:], wt_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    xs = xs_ref[0, :].astype(jnp.float32)
+    ws = ws_ref[0, :].astype(jnp.float32)
+    out = acc.astype(jnp.float32) * xs[:, None] * ws[None, :] + b_ref[0, :][None, :]
+    if activation == "gelu":
+        out = jax.nn.gelu(out, approximate=True)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "block_n", "interpret"),
+)
+def int8_linear_nk(
+    x_q: jax.Array,          # [M, K] int8
+    wt_q: jax.Array,         # [N, K] int8 (transposed weight, k-minor)
+    x_scale: jax.Array, w_scale: jax.Array,
+    bias: Optional[jax.Array] = None, *, activation: Optional[str] = None,
+    out_dtype=jnp.bfloat16, block_m: int = 512, block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """int8 matmul with the weight stored [N, K] (both operands k-minor, the
+    layout jax's scaled_matmul convention uses) — tiling exploration."""
+    m, k = x_q.shape
+    n, _ = wt_q.shape
+    bm = min(block_m, _round_up(m, 32))
+    bn = _pick_block_n(n, block_n)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    xs_row = x_scale.reshape(1, -1)
+    if xs_row.shape[1] != m_pad:
+        xs_row = jnp.pad(xs_row, ((0, 0), (0, m_pad - xs_row.shape[1])),
+                         constant_values=1.0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_nk, activation=activation),
+        grid=(m_pad // bm, n // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((bn, k), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, bm), lambda i, j: (0, i)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x_q, wt_q, xs_row, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return out[:m] if m_pad != m else out
+
+
 def _kernel_kgrid(x_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, acc_ref, *,
                   activation: Optional[str]):
     @pl.when(pl.program_id(2) == 0)

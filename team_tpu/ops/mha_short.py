@@ -284,6 +284,80 @@ def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
     o_ref[0] = (x32 + proj).astype(o_ref.dtype)
 
 
+def _mha_packed_proj_kernel(qkv_ref, w_ref, b_ref, x_ref, o_ref, *, heads: int,
+                            dh: int, scale: float, causal: bool, precision):
+    """Packed attention + fused out-projection + residual: only the out-proj
+    weight (D², ~1.2 MB bf16) stays VMEM-resident — the attention output never
+    reaches HBM, without attn_block's qkv-weight VMEM pressure."""
+    d_model = heads * dh
+    s = qkv_ref.shape[1]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        causal_mask = cols <= rows
+    outs = []
+    for hd in range(heads):
+        q = qkv_ref[0][:, hd * dh:(hd + 1) * dh]
+        k = qkv_ref[0][:, d_model + hd * dh:d_model + (hd + 1) * dh]
+        v = qkv_ref[0][:, 2 * d_model + hd * dh:2 * d_model + (hd + 1) * dh]
+        q = (q.astype(jnp.float32) * scale).astype(qkv_ref.dtype)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if causal:
+            logits = jnp.where(causal_mask, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jax.lax.dot_general(
+            p.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(qkv_ref.dtype))
+    o = jnp.concatenate(outs, axis=-1)
+    proj = jax.lax.dot_general(
+        o, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) + b_ref[0, :][None, :]
+    o_ref[0] = (x_ref[0].astype(jnp.float32) + proj).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret",
+                                             "precision"))
+def fused_mha_packed_proj(qkv: jax.Array, out_w: jax.Array, out_b: jax.Array,
+                          x_resid: jax.Array, heads: int, *,
+                          causal: bool = False, interpret: bool = False,
+                          precision: str | None = None) -> jax.Array:
+    """``x_resid + attention(qkv) @ out_w + out_b`` in one Pallas call."""
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    if precision is None:
+        precision = "highest" if qkv.dtype == jnp.float32 else "default"
+    kernel = functools.partial(_mha_packed_proj_kernel, heads=heads, dh=dh,
+                               scale=dh ** -0.5, causal=causal,
+                               precision=jax.lax.Precision(precision))
+    dt = qkv.dtype
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, d3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), dt),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * s * dh + 2 * b * s * d * d,
+            bytes_accessed=(3 * b * s * d + b * s * d * 2 + d * d) * dt.itemsize,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv, out_w.astype(dt), out_b.reshape(1, d).astype(jnp.float32), x_resid)
+
+
 def _xla_attn_block_reference(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b,
                               heads: int, causal: bool) -> jax.Array:
     x32 = x.astype(jnp.float32)

@@ -285,3 +285,26 @@ def test_fused_packed_kernels_on_tpu():
         got = np.asarray(_block_forward(blk, x, cfg.vision.heads, causal=False,
                                         kv_len=s, impl=impl))
         np.testing.assert_allclose(got, want, atol=1e-4, err_msg=impl)
+
+
+def test_block_forward_mha_packed_proj_matches_xla():
+    import functools as ft
+
+    import team_tpu.ops.mha_short as ms
+    from team_tpu.backbone.clip import CLIPConfig, _block_forward, init_clip_params
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(3), cfg)
+    blk = params["vision"]["blocks"][1]
+    rng = np.random.default_rng(10)
+    s = cfg.vision.seq_len
+    x = jnp.asarray(rng.standard_normal((2, s, cfg.vision.width)).astype(np.float32))
+    want = _block_forward(blk, x, cfg.vision.heads, causal=False, kv_len=s, impl="xla")
+    orig = ms.fused_mha_packed_proj
+    ms.fused_mha_packed_proj = ft.partial(orig, interpret=True)
+    try:
+        got = _block_forward(blk, x, cfg.vision.heads, causal=False, kv_len=s,
+                             impl="mha_packed_proj")
+    finally:
+        ms.fused_mha_packed_proj = orig
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)

@@ -228,3 +228,19 @@ def test_int8_linear_kgrid_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(got_g),
                                np.asarray(jax.nn.gelu(want, approximate=True)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_linear_nk_matches_plain(rng):
+    from team_tpu.ops.int8_matmul import int8_linear_nk
+
+    m, k, n = 40, 64, 96
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+    want = int8_linear(xq, wq, xs, ws, None, out_dtype=jnp.float32,
+                       block_m=16, block_n=32, interpret=True)
+    got = int8_linear_nk(xq, jnp.asarray(np.ascontiguousarray(np.asarray(wq).T)),
+                         xs, ws, None, out_dtype=jnp.float32,
+                         block_m=16, block_n=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
