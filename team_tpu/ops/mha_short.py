@@ -4,13 +4,21 @@ One grid step owns all heads of one sample: QKᵀ → masked softmax → PV with
 logits living only in VMEM — HBM sees just q/k/v/out (~4 MB per sample-layer).
 
 Measured on v5e (B=256, H=12, S=197, D=64, 12-layer chained single-dispatch —
-the only honest methodology through the axon tunnel, docs/BENCH.md): this
-kernel runs **3.62 ms/layer vs XLA's 3.95** and ``attention_impl="auto"`` now
-routes non-causal short sequences here. (Round 1 recorded 8.2 ms from a
-standalone per-call measurement — that number was per-dispatch-overhead
-inflated.) Variants measured and rejected: Q rows padded to the 16-sublane
-multiple instead of 128 (4.03 — row alignment beats the saved exp work),
-deferred softmax normalization (3.70), bf16 exp (3.83-4.02).
+the only honest methodology through the axon tunnel, docs/BENCH.md):
+``fused_mha_short`` runs 3.62 ms/layer vs XLA's 3.95 on pre-split tensors
+(round 1 recorded 8.2 ms from a standalone per-call measurement — dispatch-
+overhead inflated). The PRODUCTION winner is :func:`fused_mha_packed`, which
+consumes the packed ``[B, S, 3D]`` qkv projection directly — eliminating the
+head-split transposes XLA would otherwise materialize around a Pallas call —
+and is what ``attention_impl="auto"`` resolves to at the block level (full
+tower: 2983 img/s vs 2113-2198 with XLA attention).
+
+Variants measured and REJECTED end-to-end (kept as opt-ins, docs/BENCH.md):
+Q rows padded to the 16-sublane multiple (row alignment beats saved exp work),
+deferred softmax normalization, bf16 exp, 2-4 samples per program
+(``TEAM_MHA_GROUP``), fused out-projection (``mha_packed_proj``), and the
+fully-fused attention sub-block (``attn_block`` — VMEM-resident weights starve
+XLA's cross-op pipelining despite winning isolated block chains).
 """
 
 from __future__ import annotations
@@ -126,34 +134,36 @@ def fused_mha_short_v2(q: jax.Array, k: jax.Array, v: jax.Array,
 
 def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
                        causal: bool, precision):
-    """All heads of one sample from the PACKED [S, 3*D_model] qkv tensor —
-    no head-split transposes, no S padding (the block spans the full array, so
-    Mosaic pads sublanes/lanes internally)."""
+    """All heads of ``group`` samples from the PACKED [G, S, 3*D_model] qkv
+    tensor — no head-split transposes, no S padding (the block spans the full
+    array, so Mosaic pads sublanes/lanes internally)."""
     d_model = heads * dh
     s = qkv_ref.shape[1]
+    group = qkv_ref.shape[0]
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         causal_mask = cols <= rows
-    for h in range(heads):
-        q = qkv_ref[0][:, h * dh:(h + 1) * dh]
-        k = qkv_ref[0][:, d_model + h * dh:d_model + (h + 1) * dh]
-        v = qkv_ref[0][:, 2 * d_model + h * dh:2 * d_model + (h + 1) * dh]
-        q = (q.astype(jnp.float32) * scale).astype(qkv_ref.dtype)
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        if causal:
-            logits = jnp.where(causal_mask, logits, NEG_INF)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            p.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        o_ref[0, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
+    for g in range(group):
+        for h in range(heads):
+            q = qkv_ref[g][:, h * dh:(h + 1) * dh]
+            k = qkv_ref[g][:, d_model + h * dh:d_model + (h + 1) * dh]
+            v = qkv_ref[g][:, 2 * d_model + h * dh:2 * d_model + (h + 1) * dh]
+            q = (q.astype(jnp.float32) * scale).astype(qkv_ref.dtype)
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            if causal:
+                logits = jnp.where(causal_mask, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(qkv_ref.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            o_ref[g, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
 def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool) -> jax.Array:
@@ -211,19 +221,26 @@ def fused_mha_packed(qkv: jax.Array, heads: int, *, causal: bool = False,
     return _mha_packed_vjp(qkv, heads, causal, interpret, precision)
 
 
+import os as _os
+
+# samples per program (amortizes per-program DMA/overhead; tuning knob)
+_PACKED_GROUP = max(1, int(_os.environ.get("TEAM_MHA_GROUP", "1")))
+
+
 def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
                          interpret: bool, precision: str) -> jax.Array:
     b, s, d3 = qkv.shape
     d_model = d3 // 3
     dh = d_model // heads
+    g = _PACKED_GROUP if b % _PACKED_GROUP == 0 else 1
     kernel = functools.partial(_mha_packed_kernel, heads=heads, dh=dh,
                                scale=dh ** -0.5, causal=causal,
                                precision=jax.lax.Precision(precision))
     return pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s, d3), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, s, d_model), lambda i: (i, 0, 0)),
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((g, s, d3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((g, s, d_model), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, d_model), qkv.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
