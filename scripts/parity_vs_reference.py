@@ -75,11 +75,20 @@ def check_tokenizer(vocab_path: str) -> None:
             fail(f"tokenizer mismatch on {len(bad)}+ prompts, e.g. {texts[bad[0]]!r}", 1)
         print(f"[parity] tokenizer ids == open_clip on {len(texts)} prompts: OK")
     except ImportError:
-        # invariants only: sot/eot framing, no zeros before eot
-        sot, eot = ids[0, 0], ids[ids[0].argmax() if False else 0, :]
-        assert (ids[:, 0] == ids[0, 0]).all(), "sot token must be constant"
-        print(f"[parity] open_clip unavailable; BPE self-checks passed on "
-              f"{len(texts)} prompts (install open_clip for golden ids)")
+        from team_tpu.backbone.tokenizer import EOT_ID, SOT_ID
+
+        # invariants only: constant sot, exactly one eot per prompt, no
+        # zero-padding before the eot, zeros after it
+        assert (ids[:, 0] == SOT_ID).all(), "sot token must lead every prompt"
+        for row in ids:
+            eots = np.where(row == EOT_ID)[0]
+            assert len(eots) >= 1, "missing eot token"
+            e = eots[0]
+            assert (row[1:e] != 0).all(), "zero-padding before eot"
+            assert (row[e + 1:] == 0).all(), "non-zero tokens after eot"
+        print(f"[parity] open_clip unavailable; BPE self-checks (sot/eot "
+              f"framing, padding) passed on {len(texts)} prompts — set up "
+              f"open_clip for golden-id comparison")
 
 
 def check_towers(ckpt_path: str) -> None:

@@ -33,12 +33,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception as e:  # toolchain missing -> python fallback
-            logging.info("native team_io build unavailable: %s", e)
+    # run make unconditionally (mtime-incremental): a stale .so built before a
+    # symbol was added would otherwise raise AttributeError at binding time
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception as e:  # toolchain missing -> python fallback
+        logging.info("native team_io build unavailable: %s", e)
+        if not os.path.isfile(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -61,7 +63,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int),
         ]
         _lib = lib
-    except OSError as e:
+    except (OSError, AttributeError) as e:
+        # AttributeError: stale library missing a newer symbol — degrade to
+        # the PIL/numpy fallbacks rather than killing the run
         logging.info("native team_io load failed: %s", e)
     return _lib
 

@@ -127,6 +127,11 @@ class BaseLearner:
     def _feat_keys(self, ds):
         import hashlib
 
+        # content hashing an array-backed dataset costs ~0.2 ms/image on this
+        # 1-core host — memoize per dataset object (datasets are immutable)
+        cached = getattr(ds, "_feat_keys_memo", None)
+        if cached is not None:
+            return cached
         # deterministic-train datasets share the CLIP transform between train
         # and test modes (reference build_transform ignores is_train), so those
         # modes share cache entries; "flip" is a distinct transform.
@@ -139,6 +144,7 @@ class BaseLearner:
             for arr in ds.images:
                 a = np.ascontiguousarray(arr)
                 keys.append((mode_key, a.shape, hashlib.md5(a.tobytes()).hexdigest()))
+        ds._feat_keys_memo = keys
         return keys
 
     def _cached_features(self, ds, batch_size=EVAL_BATCH) -> np.ndarray:
@@ -265,6 +271,10 @@ class BaseLearner:
         # every lifecycle stage stays represented, even without fixed_memory
         stage_first = (not self.cfg.parity_mode) and bool(self.cfg.stage_first_replay)
         if self._fixed_memory or stage_first:
+            if not self._fixed_memory:
+                # total-budget mode: old classes' quotas shrink as classes
+                # arrive — trim them FIRST or memory_size is silently exceeded
+                self._reduce_exemplar(data_manager, per_class)
             self._construct_exemplar_unified(data_manager, per_class)
         else:
             self._reduce_exemplar(data_manager, per_class)

@@ -31,7 +31,6 @@ from team_tpu.learners.proof_net import (
     ProofDims,
     TaskContext,
     build_epoch_runner,
-    build_train_step,
     lr_schedule,
     eval_correct_scan,
     eval_logits,
@@ -137,8 +136,9 @@ class Learner(BaseLearner):
         if (self._mesh_ctx is not None and not self.cfg.parity_mode
                 and not self.cfg.global_clip_loss):
             clip_shards = self._mesh_ctx.n_data
-        self._train_step = build_train_step(self.cfg, self.dims, self._tx,
-                                            clip_shards=clip_shards)
+        # every batch (incl. the padded final one) goes through the epoch
+        # scan — the single-step path lives in proof_net.build_train_step for
+        # direct/odd-shaped use (tests, notebooks) but has no caller here
         self._epoch_runner = build_epoch_runner(self.cfg, self.dims, self._tx,
                                                 clip_shards=clip_shards)
 
@@ -506,13 +506,14 @@ class Learner(BaseLearner):
         text_features = self._zero_shot_text_features()
         feats, labels = self._zs_feats
         y_pred = []
-        for start in range(0, len(labels), EVAL_BATCH):
-            img = _project_image_jit(self.trainable,
-                                     jnp.asarray(feats[start : start + EVAL_BATCH]), self.ctx)
+        for start, v in _padded_slices(len(labels), EVAL_BATCH):
+            img = _project_image_jit(
+                self.trainable,
+                jnp.asarray(_pad_rows(feats[start : start + v], EVAL_BATCH)), self.ctx)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             logits = img @ text_features.T
             k = min(self.topk, logits.shape[1])
-            preds = np.asarray(jax.lax.top_k(logits, k)[1])
+            preds = np.asarray(jax.lax.top_k(logits, k)[1])[:v]
             y_pred.append(preds)
         return np.concatenate(y_pred), labels
 
@@ -544,11 +545,12 @@ class Learner(BaseLearner):
                 self.trainable, jnp.asarray(fb.reshape(chunk, EVAL_BATCH, -1)),
                 jnp.asarray(lb.reshape(chunk, EVAL_BATCH).astype(np.int32)), self.ctx))
             offset += chunk
-        for start in range(k * EVAL_BATCH, n, EVAL_BATCH):
-            f = jnp.asarray(feats[start : start + EVAL_BATCH])
+        for start, v in _padded_slices(n - k * EVAL_BATCH, EVAL_BATCH):
+            start += k * EVAL_BATCH
+            f = jnp.asarray(_pad_rows(feats[start : start + v], EVAL_BATCH))
             logits = eval_logits(self.trainable, f, self.ctx)
-            preds = np.asarray(jnp.argmax(logits, axis=1))
-            correct += int((preds == labels[start : start + EVAL_BATCH]).sum())
+            preds = np.asarray(jnp.argmax(logits, axis=1))[:v]
+            correct += int((preds == labels[start : start + v]).sum())
         return float(np.around(correct * 100 / n, decimals=2))
 
     def _eval_cnn(self, loader):
@@ -557,12 +559,14 @@ class Learner(BaseLearner):
         if loader is self.test_loader and getattr(self, "_test_feats", None) is not None:
             feats, labels, _ = self._test_feats
             y_pred = []
-            for start in range(0, len(labels), EVAL_BATCH):
+            for start, v in _padded_slices(len(labels), EVAL_BATCH):
                 logits = eval_logits(
-                    self.trainable, jnp.asarray(feats[start : start + EVAL_BATCH]), self.ctx
+                    self.trainable,
+                    jnp.asarray(_pad_rows(feats[start : start + v], EVAL_BATCH)),
+                    self.ctx,
                 )
                 k = min(self.topk, self._total_classes)
-                preds = np.asarray(jax.lax.top_k(logits, k)[1])
+                preds = np.asarray(jax.lax.top_k(logits, k)[1])[:v]
                 if k < self.topk:
                     preds = np.concatenate(
                         [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)],
@@ -589,6 +593,20 @@ class Learner(BaseLearner):
 def _split(key):
     k1, k2 = jax.random.split(key)
     return k1, k2
+
+
+def _padded_slices(n: int, batch: int):
+    """(start, valid) pairs covering [0, n) in FIXED-size batches; the final
+    slice is padded by the caller (one compiled shape per consumer — remote
+    compiles cost minutes, CLAUDE.md)."""
+    for start in range(0, n, batch):
+        yield start, min(batch, n - start)
+
+
+def _pad_rows(x: np.ndarray, batch: int) -> np.ndarray:
+    if len(x) == batch:
+        return x
+    return np.concatenate([x, np.repeat(x[:1], batch - len(x), axis=0)])
 
 
 def _pow2_chunks(k: int):

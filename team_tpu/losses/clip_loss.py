@@ -46,6 +46,9 @@ def clip_loss(
     ``valid_mask`` (``[B]`` float, 1 = real row): pad-don't-drop support — padded
     rows are excluded from the row means AND masked out of the negative sets, so
     the loss over a padded batch equals the loss over the unpadded batch exactly.
+    With ``local_loss=True`` each shard returns a mean over ITS valid rows; a
+    caller aggregating per-shard losses must weight them by the shards' valid
+    counts (a shard of pure padding returns 0).
     """
     n = image_features.shape[0]
     if axis_name is None:
@@ -61,13 +64,25 @@ def clip_loss(
 
     all_img = jax.lax.all_gather(image_features, axis_name, tiled=True)
     all_txt = jax.lax.all_gather(text_features, axis_name, tiled=True)
+    all_vm = (jax.lax.all_gather(valid_mask, axis_name, tiled=True)
+              if valid_mask is not None else None)
+    col = None if all_vm is None else jnp.where(all_vm[None, :] > 0, 0.0, NEG_INF)
     if local_loss:
         rank = jax.lax.axis_index(axis_name)
         labels = jnp.arange(n) + n * rank
         logits_per_image = logit_scale * image_features @ all_txt.T
         logits_per_text = logit_scale * text_features @ all_img.T
-    else:
-        labels = jnp.arange(all_img.shape[0])
-        logits_per_image = logit_scale * all_img @ all_txt.T
+        if col is not None:
+            logits_per_image = logits_per_image + col
+            logits_per_text = logits_per_text + col
+        return (_xent(logits_per_image, labels, valid_mask)
+                + _xent(logits_per_text, labels, valid_mask)) / 2.0
+    labels = jnp.arange(all_img.shape[0])
+    logits_per_image = logit_scale * all_img @ all_txt.T
+    if col is None:
         logits_per_text = logits_per_image.T
-    return (_xent(logits_per_image, labels) + _xent(logits_per_text, labels)) / 2.0
+    else:
+        logits_per_image = logits_per_image + col
+        logits_per_text = logit_scale * all_txt @ all_img.T + col
+    return (_xent(logits_per_image, labels, all_vm)
+            + _xent(logits_per_text, labels, all_vm)) / 2.0

@@ -13,33 +13,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from team_tpu.ops.flash_attention import flash_attention
+from team_tpu.ops.flash_attention import flash_attention, xla_attention
 
 NEG_INF = -1e30
 
-
-def _xla_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    kv_len=None,
-    *,
-    causal: bool = False,
-) -> jax.Array:
-    """Plain XLA attention over [B, H, S, Dh]; fp32 softmax accumulation."""
-    dh = q.shape[-1]
-    s = q.shape[2]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * (dh ** -0.5)
-    kv_positions = jnp.arange(s)[None, :]
-    mask = jnp.ones((s, s), dtype=bool)
-    if causal:
-        mask = jnp.tril(mask)
-    if kv_len is not None:
-        mask = jnp.logical_and(mask, kv_positions < kv_len)
-    logits = jnp.where(mask[None, None], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+# canonical XLA attention (single source of truth in flash_attention.py);
+# kept under the old private name for existing imports
+_xla_attention = xla_attention
 
 
 def multi_head_attention(
@@ -60,7 +40,9 @@ def multi_head_attention(
     on pre-split [B,H,S,D] tensors (3.62 vs 3.95 ms/layer) but forcing the
     head-split transposes + S-padding copies to materialize around a Pallas
     call costs more than it saves (full-tower regression 2113 -> 1717 img/s).
-    The transpose-free packed-layout variant is `mha_short_packed`.
+    The transpose-free packed-layout production kernel is
+    team_tpu.ops.mha_short.fused_mha_packed, selected at the BLOCK level in
+    team_tpu.backbone.clip._block_forward (it needs the packed qkv tensor).
     """
     if impl == "auto":
         on_tpu = jax.default_backend() in ("tpu", "axon")

@@ -87,20 +87,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _xla_reference(q, k, v, kv_len_arr, causal: bool):
-    """Numerically-equivalent XLA attention used to derive the backward pass
-    (recompute-based flash backward: cheap at CLIP shapes, exact cotangents)."""
+def xla_attention(q, k, v, kv_len=None, *, causal: bool = False):
+    """THE canonical XLA attention over ``[B, H, S, Dh]`` (fp32 softmax).
+
+    Single source of truth for every custom-VJP backward in this package and
+    for the ``impl='xla'`` front-end path — a numerics change here propagates
+    to all of them. ``kv_len`` may be a Python int or a traced scalar."""
     dh = q.shape[-1]
     s = q.shape[2]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * (dh ** -0.5)
     kv_positions = jnp.arange(s)[None, :]
-    mask = kv_positions < kv_len_arr[0]
+    mask = jnp.ones((s, s), dtype=bool)
     if causal:
-        mask = jnp.logical_and(mask, kv_positions <= jnp.arange(s)[:, None])
+        mask = jnp.tril(mask)
+    if kv_len is not None:
+        mask = jnp.logical_and(mask, kv_positions < kv_len)
     logits = jnp.where(mask[None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def _xla_reference(q, k, v, kv_len_arr, causal: bool):
+    """Backward-pass reference for the flash kernel (traced kv_len array)."""
+    return xla_attention(q, k, v, kv_len_arr[0], causal=causal)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))

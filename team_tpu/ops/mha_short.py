@@ -167,7 +167,10 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
 
 
 def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool) -> jax.Array:
-    """XLA equivalent of the packed kernel (drives the custom VJP backward)."""
+    """XLA equivalent of the packed kernel (drives the custom VJP backward):
+    a pure layout wrapper around the canonical xla_attention."""
+    from team_tpu.ops.flash_attention import xla_attention
+
     b, s, d3 = qkv.shape
     d = d3 // 3
     dh = d // heads
@@ -176,14 +179,7 @@ def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool) -> jax.Array
     def hsplit(t):
         return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
 
-    q, k, v = hsplit(q), hsplit(k), hsplit(v)
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (dh ** -0.5)
-    if causal:
-        mask = jnp.tril(jnp.ones((s, s), bool))
-        logits = jnp.where(mask[None, None], logits, NEG_INF)
-    p = jax.nn.softmax(logits, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    o = xla_attention(hsplit(q), hsplit(k), hsplit(v), causal=causal)
     return o.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
@@ -468,14 +464,9 @@ def _attn_block_fwd_impl(x, ln_scale, ln_bias, qkv_w, qkv_b, out_w, out_b,
 
 
 def _xla_ref_noncausal(q, k, v, kv_len: int):
-    dh = q.shape[-1]
-    s = q.shape[2]
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * (dh ** -0.5)
-    mask = jnp.arange(s)[None, :] < kv_len
-    logits = jnp.where(mask[None, None], logits, NEG_INF)
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    from team_tpu.ops.flash_attention import xla_attention
+
+    return xla_attention(q, k, v, kv_len, causal=False)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -503,9 +494,10 @@ def fused_mha_short(q: jax.Array, k: jax.Array, v: jax.Array, kv_len: int | None
     padded to a lane multiple internally. Rows beyond ``kv_len`` are garbage.
 
     Measured 3.62 ms/layer at CLIP vision shape (B=256, H=12, S=197) vs XLA's
-    3.95 — ``attention_impl='auto'`` routes non-causal short sequences here on
-    TPU (docs/BENCH.md shoot-out). Differentiable via a custom VJP (XLA-derived
-    backward, same pattern as flash_attention)."""
+    3.95 on pre-split tensors — but NOT the production path: materializing the
+    head-split transposes around the call loses end-to-end, so ``auto`` routes
+    the towers through :func:`fused_mha_packed` instead (module docstring).
+    Differentiable via a custom VJP (XLA-derived backward)."""
     if kv_len is None:
         kv_len = q.shape[2]
     if precision is None:

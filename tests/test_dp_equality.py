@@ -182,3 +182,45 @@ def test_loader_indices_restriction(rng):
     loader = ArrayLoader(ds, batch_size=3, image_size=32, indices=rows, pad_last=False)
     got = np.concatenate([b["index"] for b in loader])
     np.testing.assert_array_equal(got, rows)
+
+
+def test_clip_loss_gathered_pad_invariance(rng):
+    """valid_mask must also hold in the all_gather (axis_name) branches:
+    padded rows excluded from means AND negative sets across shards."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from team_tpu.losses.clip_loss import clip_loss
+    from team_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((8,), ("data",))
+    b, d = 12, 16
+    img = rng.standard_normal((b, d)).astype(np.float32)
+    txt = rng.standard_normal((b, d)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    scale = jnp.asarray(20.0)
+    ref = float(clip_loss(jnp.asarray(img), jnp.asarray(txt), scale))
+
+    pad = 16 - b  # pad to 16 rows = 2 per shard
+    img_p = jnp.asarray(np.concatenate([img, img[:pad]]))
+    txt_p = jnp.asarray(np.concatenate([txt, txt[:pad]]))
+    vm = jnp.asarray(np.concatenate([np.ones(b), np.zeros(pad)]).astype(np.float32))
+
+    for local in (False, True):
+        def fn(a, t, v, local=local):
+            return clip_loss(a, t, scale, axis_name="data", local_loss=local,
+                             valid_mask=v)[None]
+
+        f = shard_map(fn, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+                      out_specs=P("data"))
+        out = np.asarray(f(img_p, txt_p, vm))
+        if local:
+            # each shard returns a mean over ITS valid rows; the global loss is
+            # the valid-count-weighted mean (clip_loss docstring contract)
+            counts = np.asarray(vm).reshape(8, 2).sum(axis=1)
+            got = float((out * counts).sum() / counts.sum())
+        else:
+            got = float(out[0])
+        np.testing.assert_allclose(got, ref, rtol=1e-5,
+                                   err_msg=f"local_loss={local}")

@@ -251,3 +251,24 @@ def test_fix_mode_temporal_disabled():
     # no evolution ran: evolution embeddings never became valid
     assert not bool(np.asarray(learner.buffers.evolution_valid).any())
     assert learner.state_distance.update_history == []
+
+
+def test_stage_first_replay_respects_memory_budget():
+    """Fix-mode stage_first_replay without fixed_memory must still honor the
+    TOTAL memory_size budget (old classes' quotas shrink as classes arrive)."""
+    from team_tpu.data.manager import DataManager
+    from team_tpu.learners.factory import get_model
+
+    cfg = _cfg(parity_mode=False, stage_first_replay=True, memory_size=12,
+               fixed_memory=False)
+    dm = DataManager(cfg.dataset, cfg.shuffle, 3, cfg.init_cls, cfg.increment,
+                     **cfg.get("dataset_kwargs", {}))
+    learner = get_model("proof", cfg)
+    for _ in range(2):
+        learner.incremental_train(dm)
+        learner.after_task()
+        # budget: samples_per_class * total_classes <= memory_size (+ rounding)
+        per_class = learner.samples_per_class
+        assert learner.exemplar_size <= per_class * learner._total_classes, (
+            learner.exemplar_size, per_class, learner._total_classes)
+        assert learner.exemplar_size <= cfg.memory_size
