@@ -226,8 +226,24 @@ class BaseLearner:
     def _eval_nme(self, loader: ArrayLoader, class_means: np.ndarray):
         vectors, y_true = self._extract_vectors(loader)
         vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
-        dists = _sq_euclidean(jnp.asarray(class_means), jnp.asarray(vectors))  # [C, N]
-        scores = np.asarray(dists).T
+        # pad the means to the dataset's total class count: one compiled
+        # distance shape for the whole run (class_means grows per task)
+        total = (self.data_manager.get_total_classnum()
+                 if self.data_manager is not None else len(class_means))
+        if len(class_means) < total:
+            pad = np.full((total - len(class_means), class_means.shape[1]), 1e6,
+                          dtype=class_means.dtype)  # far from everything
+            class_means = np.concatenate([class_means, pad])
+        # fixed-width chunks over the test set (its size grows per task too)
+        means_dev = jnp.asarray(class_means)
+        scores = np.empty((len(vectors), total), np.float32)
+        for start in range(0, len(vectors), EVAL_BATCH):
+            sl = vectors[start:start + EVAL_BATCH]
+            v = len(sl)
+            if v < EVAL_BATCH:
+                sl = np.concatenate([sl, np.repeat(sl[:1], EVAL_BATCH - v, axis=0)])
+            d = _sq_euclidean(means_dev, jnp.asarray(sl))  # [C, EVAL_BATCH]
+            scores[start:start + v] = np.asarray(d).T[:v]
         return np.argsort(scores, axis=1)[:, : self.topk], y_true
 
     def _zero_shot_text_features(self) -> jnp.ndarray:
