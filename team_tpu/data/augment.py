@@ -18,35 +18,44 @@ import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 
 
+FILL = (128, 128, 128)  # the reference's gray fillcolor (utils/ops.py:34 etc.)
+
+
 def cutout(img: Image.Image, length: int, rng: np.random.Generator) -> Image.Image:
-    """Zero a random (2·length)² square (clamped at borders)."""
+    """Zero a random length² square around a uniform center, clamped at borders
+    (reference ``Cutout.__call__``: side = 2·(length//2), utils/ops.py:10-30)."""
     arr = np.asarray(img).copy()
     h, w = arr.shape[:2]
     y, x = int(rng.integers(h)), int(rng.integers(w))
-    y1, y2 = np.clip(y - length, 0, h), np.clip(y + length, 0, h)
-    x1, x2 = np.clip(x - length, 0, w), np.clip(x + length, 0, w)
+    y1, y2 = np.clip(y - length // 2, 0, h), np.clip(y + length // 2, 0, h)
+    x1, x2 = np.clip(x - length // 2, 0, w), np.clip(x + length // 2, 0, w)
     arr[y1:y2, x1:x2] = 0
     return Image.fromarray(arr)
 
 
-def shear_x(img, v):  # v in [-0.3, 0.3]
-    return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
+def shear_x(img, v):  # v in [-0.3, 0.3] (signed; ref randomizes the sign)
+    return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0),
+                         Image.BICUBIC, fillcolor=FILL)
 
 
 def shear_y(img, v):
-    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0),
+                         Image.BICUBIC, fillcolor=FILL)
 
 
-def translate_x(img, v):  # v: fraction of width
-    return img.transform(img.size, Image.AFFINE, (1, 0, v * img.size[0], 0, 1, 0))
+def translate_x(img, v):  # v: signed fraction of width
+    return img.transform(img.size, Image.AFFINE, (1, 0, v * img.size[0], 0, 1, 0),
+                         fillcolor=FILL)
 
 
 def translate_y(img, v):
-    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v * img.size[1]))
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v * img.size[1]),
+                         fillcolor=FILL)
 
 
-def rotate(img, v):  # degrees
-    return img.rotate(v)
+def rotate(img, v):  # degrees; composite onto gray like the reference (:73-76)
+    rot = img.convert("RGBA").rotate(v)
+    return Image.composite(rot, Image.new("RGBA", rot.size, (128,) * 4), rot).convert(img.mode)
 
 
 def color(img, v):
@@ -131,7 +140,7 @@ def cutout_batch(images, lengths, seed: int = 0):
     xs = jax.random.randint(kx, (b,), 0, w)
     row = jnp.arange(h)[None, :, None]
     col = jnp.arange(w)[None, None, :]
-    l = jnp.asarray(lengths).reshape(-1, 1, 1)
+    l = jnp.asarray(lengths).reshape(-1, 1, 1) // 2  # side = length (ref Cutout)
     mask = ((row >= ys[:, None, None] - l) & (row < ys[:, None, None] + l)
             & (col >= xs[:, None, None] - l) & (col < xs[:, None, None] + l))
     return jnp.where(mask[..., None], 0.0, images)

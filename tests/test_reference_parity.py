@@ -525,3 +525,85 @@ def test_clip_loss_parity(rng):
                    torch.tensor(scale)).item()
     got = clip_loss(jnp.asarray(img), jnp.asarray(txt), jnp.asarray(scale))
     allclose(got, want, atol=1e-5, rtol=1e-5, msg="ClipLoss single-process")
+
+
+# ===========================================================================
+# Augment op library (utils/ops.py:5-121)
+# ===========================================================================
+
+def test_augment_ops_match_reference(rng):
+    """Every PIL op must match the reference op class pixel-for-pixel at a
+    fixed magnitude (the reference folds a random sign into each op; ours take
+    the signed magnitude — compared here at positive sign via random.seed)."""
+    import random as _random
+
+    from PIL import Image
+    from utils import ops as ref_ops
+
+    from team_tpu.data import augment as aug
+
+    img = Image.fromarray(rng.integers(0, 255, (48, 40, 3), dtype=np.uint8))
+
+    def ref(op_cls, magnitude, sign=1):
+        # reference ops draw random.choice([-1, 1]); pin it via seeding
+        while True:
+            state = _random.getstate()
+            if _random.choice([-1, 1]) == sign:
+                _random.setstate(state)
+                return op_cls()(img, magnitude)
+            # retry until the next draw yields the wanted sign
+            continue
+
+    cases = [
+        (aug.shear_x(img, 0.2), ref(ref_ops.ShearX, 0.2)),
+        (aug.shear_y(img, 0.15), ref(ref_ops.ShearY, 0.15)),
+        (aug.translate_x(img, 0.25), ref(ref_ops.TranslateX, 0.25)),
+        (aug.translate_y(img, 0.1), ref(ref_ops.TranslateY, 0.1)),
+        (aug.rotate(img, 20.0), ref(ref_ops.Rotate, 20.0)),
+        (aug.color(img, 1.5), ref(ref_ops.Color, 0.5)),
+        (aug.posterize(img, 4), ref(ref_ops.Posterize, 4)),
+        (aug.solarize(img, 128), ref(ref_ops.Solarize, 128)),
+        (aug.contrast(img, 1.3), ref(ref_ops.Contrast, 0.3)),
+        (aug.sharpness(img, 1.7), ref(ref_ops.Sharpness, 0.7)),
+        (aug.brightness(img, 1.2), ref(ref_ops.Brightness, 0.2)),
+        (aug.auto_contrast(img), ref_ops.AutoContrast()(img, 0)),
+        (aug.equalize(img), ref_ops.Equalize()(img, 0)),
+        (aug.invert(img), ref_ops.Invert()(img, 0)),
+    ]
+    for i, (got, want) in enumerate(cases):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"augment case {i}")
+
+
+def test_cutout_matches_reference_geometry(rng):
+    """Cutout square side must be 2*(length//2) around the center, like the
+    reference's tensor Cutout (utils/ops.py:10-30)."""
+    import torch as _torch
+
+    from utils.ops import Cutout as RefCutout
+
+    from team_tpu.data.augment import cutout
+
+    h = w = 32
+    length = 10
+    img = rng.integers(1, 255, (h, w, 3), dtype=np.uint8)
+    from PIL import Image as _I
+
+    # pin numpy's legacy RNG (the reference draws the hole center from it)
+    np.random.seed(7)
+    ref_img = _torch.from_numpy(img.transpose(2, 0, 1).astype(np.float32))
+    want = RefCutout(1, length)(ref_img).numpy().transpose(1, 2, 0)
+    np.random.seed(7)
+    y, x = np.random.randint(h), np.random.randint(w)
+
+    got = np.asarray(cutout(_I.fromarray(img), length,
+                            rng=_FixedRng(y, x))).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+class _FixedRng:
+    def __init__(self, *vals):
+        self._vals = list(vals)
+
+    def integers(self, _n):
+        return self._vals.pop(0)
