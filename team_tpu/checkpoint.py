@@ -42,6 +42,9 @@ class TaskCheckpointer:
             state["aux"] = model.aux
             state["buffers"] = model.buffers._asdict()
             state["state_distance"] = np.asarray(model.state_distance.distance_factors)
+        if getattr(model, "_evo_projectors", None) is not None:
+            # fix-mode lifecycle projectors (scaled by integrate_with_state_distance)
+            state["evo_projectors"] = model._evo_projectors
         if getattr(model, "fc", None) is not None:
             state["fc"] = model.fc
         if len(model._data_memory):
@@ -87,6 +90,9 @@ class TaskCheckpointer:
                 k: jnp.asarray(v) for k, v in state["buffers"].items()
             })
             model.state_distance.distance_factors = jnp.asarray(state["state_distance"])
+        if "evo_projectors" in state:
+            model._evo_projectors = jax.tree_util.tree_map(
+                jnp.asarray, state["evo_projectors"])
         if "fc" in state:
             model.fc = jax.tree_util.tree_map(jnp.asarray, state["fc"])
         if "memory" in state:

@@ -52,3 +52,30 @@ def test_checkpoint_simplecil(tmp_path):
     cfg2.model_name = "simplecil"
     res2 = train(cfg2)
     np.testing.assert_allclose(res2["cnn_top1"], res["cnn_top1"])
+
+
+def test_fix_mode_projectors_survive_resume(tmp_path):
+    """Fix-mode lifecycle projectors (bias-scaled per task) are part of the
+    learner state and must persist across resume."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from team_tpu.checkpoint import TaskCheckpointer
+    from team_tpu.config import Config
+    from team_tpu.learners.factory import get_model
+
+    cfg = Config(parity_mode=False, lifecycle_weight=0.5,
+                 extras={"tiny_backbone": True})
+    learner = get_model("proof", cfg)
+    learner.dims = type("D", (), {"feature_dim": 8})()
+    learner.integrate_with_state_distance()
+    want = np.asarray(learner._evo_projectors["3-4"]["b"]).copy()
+
+    ck = TaskCheckpointer(str(tmp_path))
+    ck.save(0, learner, {"top1": [50.0]})
+
+    fresh = get_model("proof", Config(parity_mode=False,
+                                      extras={"tiny_backbone": True}))
+    curves = {}
+    assert ck.restore_latest(fresh, curves) == 0
+    np.testing.assert_array_equal(np.asarray(fresh._evo_projectors["3-4"]["b"]), want)
