@@ -264,3 +264,19 @@ def test_backbone_runtime_accepts_uint8(rng):
     a = np.asarray(rt.encode_image(jnp.asarray(u8)))
     b = np.asarray(rt.encode_image(jnp.asarray(f32)))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_laion_data_pairs(tmp_path):
+    """LaionData list-file parsing (reference data_manager.py:366-389)."""
+    from team_tpu.data.datasets import LaionData
+
+    cap = tmp_path / "cap0.txt"
+    cap.write_text("a photo of a beetle\n")
+    cap2 = tmp_path / "cap1.txt"
+    cap2.write_text("  a moth larva ")
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"/imgs/a.jpg {cap}\n\n/imgs/b.jpg {cap2}\n")
+    ds = LaionData(str(lst))
+    assert len(ds) == 2
+    assert ds[0] == ("/imgs/a.jpg", "a photo of a beetle")
+    assert ds[1] == ("/imgs/b.jpg", "a moth larva")
