@@ -280,3 +280,25 @@ def test_laion_data_pairs(tmp_path):
     assert len(ds) == 2
     assert ds[0] == ("/imgs/a.jpg", "a photo of a beetle")
     assert ds[1] == ("/imgs/b.jpg", "a moth larva")
+
+
+def test_device_normalize_flip_mode(tmp_path, rng):
+    """The flip-mode loader under device_normalize: uint8 output mirrored, and
+    device normalize reproduces the host flip pipeline."""
+    import jax.numpy as jnp
+
+    from team_tpu.ops.preprocess import preprocess_batch
+
+    p = os.path.join(str(tmp_path), "img.png")
+    arr = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p)
+    ds = TeamDataset(np.asarray([p], dtype=object), np.asarray([0]),
+                     np.asarray([4]), mode="flip", use_path=True)
+    dev = ArrayLoader(ds, batch_size=1, image_size=32, device_normalize=True,
+                      prefetch=0)
+    b = next(iter(dev))
+    assert b["image"].dtype == np.uint8
+    host = ArrayLoader(ds, batch_size=1, image_size=32, prefetch=0)
+    want = next(iter(host))["image"]
+    got = np.asarray(preprocess_batch(jnp.asarray(b["image"]), 32))
+    np.testing.assert_allclose(got, want, atol=1e-6)
