@@ -1,0 +1,117 @@
+"""Round-3 int8 GEMM pipelining probe: weight-stationary + explicit-DMA
+variants vs the round-2 2-D-gridded kernel and XLA bf16, at exact ViT shapes.
+
+Protocol ("kernel-only"): N_INPUTS independent pre-uploaded quantized inputs,
+one jit computing one GEMM per input (no inter-GEMM dependency -> hardware can
+pipeline; different inputs -> no constant folding, no proxy dedup), ONE host
+fetch fence. Reports ms/GEMM and effective TOPS. Per docs/BENCH.md rules.
+
+Env: SHAPE=qkv|fc|proj|out  VARIANTS=comma list (default all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from team_tpu.utils.jax_cache import enable as _enable
+_enable()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from team_tpu.ops.int8_matmul import (
+    int8_linear,
+    int8_linear_dma,
+    int8_linear_wres,
+    quantize_rows,
+    quantize_weight,
+)
+
+M = 256 * 197
+N_INPUTS = 6
+
+
+def fence(xs):
+    return float(sum(jnp.sum(x[:1, :1].astype(jnp.float32)) for x in xs))
+
+
+def bench(make_fn, inputs, label, flops, rounds=3):
+    f = jax.jit(make_fn)
+    outs = f(*inputs)
+    fence(outs)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = f(*inputs)
+        fence(outs)
+        best = min(best, time.perf_counter() - t0)
+    per = best / N_INPUTS
+    print(f"{label}: {per * 1e3:.3f} ms/GEMM  {flops / per / 1e12:.1f} TOPS",
+          flush=True)
+    return per
+
+
+def main():
+    rng = np.random.default_rng(0)
+    which = os.environ.get("SHAPE", "qkv")
+    k, n = {"qkv": (768, 2304), "fc": (768, 3072), "proj": (3072, 768),
+            "out": (768, 768)}[which]
+    flops = 2 * M * k * n
+    # upload-light: GEMM timing is value-independent, so generate int8 operands
+    # directly on host (38 MB/input vs 155 MB f32 + eager device quantization,
+    # which stalled for >30 min through the 1-core axon tunnel)
+    w_np = rng.integers(-127, 128, (k, n), dtype=np.int8)
+    wq = jnp.asarray(w_np)
+    ws = jnp.full((1, n), 0.01, jnp.float32)
+    wb = jnp.asarray((w_np.astype(np.float32) * 0.01)).astype(jnp.bfloat16)
+    b = jnp.zeros((n,), jnp.float32)
+
+    q_in = [jnp.asarray(rng.integers(-127, 128, (M, k), dtype=np.int8))
+            for _ in range(N_INPUTS)]
+    s_in = [jnp.full((M, 1), 0.02, jnp.float32) for _ in range(N_INPUTS)]
+    xb_in = [q.astype(jnp.bfloat16) for q in q_in]
+
+    variants = os.environ.get(
+        "VARIANTS",
+        "bf16,base512,wres256,wres512,wres512s3,wres1024,wres1024s3,"
+        "dma512,dma1024").split(",")
+
+    def run(label, fn):
+        bench(fn, (), label, flops)
+
+    for v in variants:
+        try:
+            if v == "bf16":
+                bench(lambda *a: [x @ wb for x in xb_in], (), f"{which} xla-bf16", flops)
+            elif v == "base512":
+                bench(lambda *a: [int8_linear(q, wq, s, ws, b) for q, s in zip(q_in, s_in)],
+                      (), f"{which} int8_linear bm=512 (r2 default)", flops)
+            elif v.startswith("wres"):
+                body = v[4:]
+                bm, nsplit = (int(body.split("s")[0]), int(body.split("s")[1])) \
+                    if "s" in body else (int(body), 1)
+                bench(lambda *a, bm=bm, nsplit=nsplit:
+                      [int8_linear_wres(q, wq, s, ws, b, block_m=bm, n_split=nsplit)
+                       for q, s in zip(q_in, s_in)],
+                      (), f"{which} wres bm={bm} n_split={nsplit}", flops)
+            elif v.startswith("dma"):
+                body = v[3:]
+                bm, nsplit = (int(body.split("s")[0]), int(body.split("s")[1])) \
+                    if "s" in body else (int(body), 1)
+                bench(lambda *a, bm=bm, nsplit=nsplit:
+                      [int8_linear_dma(q, wq, s, ws, b, block_m=bm, n_split=nsplit)
+                       for q, s in zip(q_in, s_in)],
+                      (), f"{which} dma bm={bm} n_split={nsplit}", flops)
+            else:
+                print(f"unknown variant {v}", flush=True)
+        except Exception as e:
+            print(f"{which} {v} FAILED: {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -311,8 +311,19 @@ class Learner(BaseLearner):
             opt_state.hyperparams["learning_rate"] = jnp.asarray(
                 lr_schedule(cfg, epoch), dtype=jnp.float32
             )
-            order = shuffle_rng.permutation(n)
+            # test-support hook: the full-loop parity harness replays the
+            # REFERENCE's recorded per-epoch batch order so both systems
+            # consume identical batches (tests/ref_loop_harness.py)
+            order = None
+            order_fn = getattr(self, "_order_override", None)
+            if order_fn is not None:
+                order = order_fn(self._cur_task, epoch, n)
+            if order is None:
+                order = shuffle_rng.permutation(n)
+            else:
+                order = np.asarray(order)
             losses = unicl_losses = 0.0
+            ce_losses = clip_losses = 0.0
             correct = 0
             epoch_arr = jnp.asarray(epoch)
 
@@ -342,12 +353,21 @@ class Learner(BaseLearner):
                 )
                 losses += float(tot.total_loss)
                 unicl_losses += float(tot.unicl_loss)
+                ce_losses += float(tot.ce_loss)
+                clip_losses += float(tot.clip_loss)
                 correct += int(tot.correct)
                 offset += chunk
             total = n
 
             train_acc = np.around(correct * 100 / total, 2)
             test_acc = self._compute_accuracy()
+            # test-support hook: per-epoch loss components for the full-loop
+            # parity comparison (tests/ref_loop_harness.py)
+            stats_hook = getattr(self, "_epoch_stats_hook", None)
+            if stats_hook is not None:
+                stats_hook(self._cur_task, epoch, dict(
+                    total=losses, ce=ce_losses, clip=clip_losses,
+                    unicl=unicl_losses, correct=correct, n=n))
             nb = k_full
             logging.info(
                 "Task %d, Epoch %d/%d => Loss %.3f, UniCL %.3f, Train_acc %.2f, Test_acc %.2f",

@@ -470,6 +470,217 @@ def int8_linear_blockscale(
     return out[:m] if m_pad != m else out
 
 
+def _kernel_wres(x_ref, w_ref, xs_ref, ws_ref, b_ref, o_ref, *,
+                 activation: Optional[str], n_split: int):
+    n = w_ref.shape[-1]
+    bn = n // n_split
+    xs = xs_ref[0, :].astype(jnp.float32)  # [bm]
+    for j in range(n_split):
+        sl = slice(j * bn, (j + 1) * bn)
+        acc = jax.lax.dot_general(
+            x_ref[...], w_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = (acc.astype(jnp.float32) * xs[:, None] * ws_ref[0, sl][None, :]
+               + b_ref[0, sl][None, :])
+        if activation == "gelu":
+            out = jax.nn.gelu(out, approximate=True)
+        o_ref[:, sl] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "n_split", "interpret"),
+)
+def int8_linear_wres(
+    x_q: jax.Array,          # [M, K] int8
+    w_q: jax.Array,          # [K, N] int8
+    x_scale: jax.Array,      # [M, 1] or [1, M] f32
+    w_scale: jax.Array,      # [1, N] f32
+    bias: Optional[jax.Array] = None,
+    *,
+    activation: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    n_split: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Weight-STATIONARY int8 matmul: grid over M only; the full [K, N] weight
+    (1.7 MB at the ViT qkv shape) stays VMEM-resident across every grid step,
+    so per-step traffic is just the x block in and the out block back.
+
+    Rationale (docs/BENCH.md round 3): the 2-D-gridded ``int8_linear`` refetches
+    the weight once per M row-block (~175 MB of redundant HBM traffic at the
+    qkv shape) and runs 594 small grid steps whose fixed overhead dominates.
+    Fewer, bigger steps with zero weight traffic amortize both. ``n_split``
+    statically unrolls the per-step dot into N sub-dots (scheduling knob).
+    """
+    m, k = x_q.shape
+    _, n = w_q.shape
+    bm = min(block_m, _round_up(m, 32))
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    xs_row = x_scale.reshape(1, -1)
+    if xs_row.shape[1] != m_pad:
+        xs_row = jnp.pad(xs_row, ((0, 0), (0, m_pad - xs_row.shape[1])),
+                         constant_values=1.0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_wres, activation=activation, n_split=n_split),
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, bm), lambda i: (0, i)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * k * n,
+            bytes_accessed=m_pad * k + k * n + m_pad * n * 2,
+            transcendentals=m_pad * n if activation == "gelu" else 0,
+        ),
+    )(x_q, w_q, xs_row, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return out[:m] if m_pad != m else out
+
+
+def _kernel_dma(x_hbm, w_ref, xs_ref, ws_ref, b_ref, o_hbm, *,
+                activation: Optional[str], bm: int, n_chunks: int,
+                n_split: int):
+    """Hand-rolled double-buffered pipeline: x/out live in HBM; this single
+    program streams [bm, K] chunks in, runs the dot against the VMEM-resident
+    weight, and streams [bm, N] results out, with both directions overlapped
+    against compute via explicit DMA semaphores."""
+    k = w_ref.shape[0]
+    n = w_ref.shape[1]
+    bn = n // n_split
+
+    def body(xbuf, obuf, in_sem, out_sem):
+        def in_dma(slot, idx):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(idx * bm, bm), :], xbuf.at[slot], in_sem.at[slot])
+
+        def out_dma(slot, idx):
+            return pltpu.make_async_copy(
+                obuf.at[slot], o_hbm.at[pl.ds(idx * bm, bm), :], out_sem.at[slot])
+
+        in_dma(0, 0).start()
+
+        @pl.when(n_chunks > 1)
+        def _():
+            in_dma(1, 1).start()
+
+        def step(i, carry):
+            slot = i % 2
+            in_dma(slot, i).wait()
+            # the out DMA that last used this slot must have drained before we
+            # overwrite the buffer
+            @pl.when(i >= 2)
+            def _():
+                out_dma(slot, i - 2).wait()
+
+            xs = xs_ref[i, :].astype(jnp.float32)  # [bm]
+            for j in range(n_split):
+                sl = slice(j * bn, (j + 1) * bn)
+                acc = jax.lax.dot_general(
+                    xbuf[slot], w_ref[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                out = (acc.astype(jnp.float32) * xs[:, None]
+                       * ws_ref[0, sl][None, :] + b_ref[0, sl][None, :])
+                if activation == "gelu":
+                    out = jax.nn.gelu(out, approximate=True)
+                obuf[slot, :, sl] = out.astype(obuf.dtype)
+            out_dma(slot, i).start()
+
+            @pl.when(i + 2 < n_chunks)
+            def _():
+                in_dma(slot, i + 2).start()
+
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, step, 0)
+
+        @pl.when(n_chunks >= 2)
+        def _():
+            out_dma((n_chunks - 2) % 2, n_chunks - 2).wait()
+
+        out_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
+
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((2, bm, k), jnp.int8),
+        obuf=pltpu.VMEM((2, bm, n), o_hbm.dtype),
+        in_sem=pltpu.SemaphoreType.DMA((2,)),
+        out_sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("activation", "out_dtype", "block_m", "n_split", "interpret"),
+)
+def int8_linear_dma(
+    x_q: jax.Array,          # [M, K] int8
+    w_q: jax.Array,          # [K, N] int8
+    x_scale: jax.Array,      # [M, 1] or [1, M] f32
+    w_scale: jax.Array,      # [1, N] f32
+    bias: Optional[jax.Array] = None,
+    *,
+    activation: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    n_split: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Explicit-DMA double-buffered int8 matmul (weight stationary).
+
+    Same contract as :func:`int8_linear_wres` but with a hand-rolled pipeline
+    instead of Mosaic's grid pipeliner: one program, x/out in HBM, 2-slot
+    in/out buffering with explicit semaphores. Built to test whether manual
+    overlap beats Mosaic's cross-step scheduling (docs/BENCH.md round 3)."""
+    m, k = x_q.shape
+    _, n = w_q.shape
+    bm = min(block_m, _round_up(m, 32))
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    n_chunks = m_pad // bm
+    xs_row = x_scale.reshape(-1)
+    if xs_row.shape[0] != m_pad:
+        xs_row = jnp.pad(xs_row, (0, m_pad - xs_row.shape[0]),
+                         constant_values=1.0)
+    xs_chunks = xs_row.reshape(n_chunks, bm).astype(jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_kernel_dma, activation=activation, bm=bm,
+                          n_chunks=n_chunks, n_split=n_split),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((k, n), lambda i: (0, 0)),
+            pl.BlockSpec((n_chunks, bm), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+            pl.BlockSpec((1, n), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x_q, w_q, xs_chunks, w_scale.reshape(1, n).astype(jnp.float32),
+      bias.reshape(1, n).astype(jnp.float32))
+    return out[:m] if m_pad != m else out
+
+
 def quantized_linear(
     x: jax.Array,
     w_q: jax.Array,
