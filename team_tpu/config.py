@@ -126,6 +126,10 @@ class Config:
     attention_impl: str = "auto"         # auto | pallas | xla
     compute_dtype: str = "float32"       # float32 | bfloat16 (backbone compute)
     cache_backbone_features: bool = False  # cache frozen features across epochs (breaks aug parity)
+    # stochastic train pipelines (augment_ops / RandomResizedCrop datasets):
+    # re-encode the train set every N epochs so augmentation is re-sampled as
+    # the reference does every epoch (models/proof.py:397-412). 1 = every epoch.
+    augment_reencode_every: int = 1
     mesh_shape: Optional[Sequence[int]] = None  # e.g. [8] for 1-D data mesh
     mesh_axis_names: Sequence[str] = ("data",)
     global_clip_loss: bool = True        # all_gather features across the data axis

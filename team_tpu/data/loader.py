@@ -173,6 +173,11 @@ class ArrayLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             order = rng.permutation(order)
+        elif self.augment_ops or (self.dataset.mode == "train"
+                                  and not self.dataset.deterministic_train):
+            # stochastic pipeline iterated unshuffled (e.g. per-epoch feature
+            # re-encode): augmentation draws still vary per epoch, seeded
+            rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
         nb = len(self)
 

@@ -191,14 +191,26 @@ class Learner(BaseLearner):
 
         # cache frozen-backbone features for the whole task (exact: deterministic
         # transforms + frozen towers). ~20x fewer backbone FLOPs than the
-        # reference's per-epoch re-encoding.
-        if self.cfg.get("augment_ops", None) or not train_ds.deterministic_train:
-            logging.warning(
-                "train pipeline is stochastic (augment_ops / random-crop dataset); "
-                "PROOF caches frozen-backbone features once per task, so per-epoch "
-                "augmentation variation is not re-sampled"
-            )
-        self._train_feats = self._dataset_features(train_ds)
+        # reference's per-epoch re-encoding. Stochastic train pipelines
+        # (augment_ops / RandomResizedCrop datasets) are re-encoded every
+        # ``augment_reencode_every`` epochs instead, matching the reference's
+        # fresh forward per epoch (models/proof.py:397-412).
+        self._train_stochastic = bool(
+            (self.cfg.get("augment_ops", None) or not train_ds.deterministic_train)
+            and jax.process_count() == 1
+        )
+        if self._train_stochastic:
+            # one persistent loader per task: its epoch counter advances on
+            # every iteration so augmentation draws differ epoch to epoch
+            self._stoch_loader = self._loader(train_ds, batch_size=EVAL_BATCH)
+            self._train_feats = self._encode_train_fresh()
+        else:
+            if self.cfg.get("augment_ops", None) or not train_ds.deterministic_train:
+                logging.warning(
+                    "stochastic train pipeline under multi-host: features are "
+                    "encoded once per task (per-epoch re-encode is single-host)"
+                )
+            self._train_feats = self._dataset_features(train_ds)
         self._test_feats = self._dataset_features(test_ds)
 
         self._train_proj_with_replay()
@@ -241,6 +253,18 @@ class Learner(BaseLearner):
             proto_state=jnp.asarray(proto_state),
             proto_mask=jnp.asarray(proto_mask),
         )
+
+    def _encode_train_fresh(self):
+        """One fresh encode pass over the task's train set through the
+        persistent stochastic loader (fresh augmentation draws each call)."""
+        feats, labels, stages = [], [], []
+        for batch in self._stoch_loader:
+            v = int(batch.get("valid", len(batch["label"])))
+            f = self.backbone.encode_image(jnp.asarray(batch["image"]))
+            feats.append(np.asarray(f)[:v])
+            labels.append(batch["label"][:v])
+            stages.append(batch["stage_id"][:v])
+        return np.concatenate(feats), np.concatenate(labels), np.concatenate(stages)
 
     def _dataset_features(self, ds, normalize: bool = False):
         # single-host + deterministic pipeline: serve from the run-wide frozen-
@@ -304,7 +328,14 @@ class Learner(BaseLearner):
             bs_eff = -(-bs // nd) * nd  # batch dim must split over the data axis
         k_full = max(1, -(-n // bs))
 
+        reencode_every = max(1, int(cfg.get("augment_reencode_every", 1)))
         for epoch in range(self.tuned_epoch):
+            # stochastic pipeline: fresh augmentation draws -> fresh features
+            # (reference re-forwards every epoch, models/proof.py:397-412)
+            if getattr(self, "_train_stochastic", False) and epoch > 0 \
+                    and epoch % reencode_every == 0:
+                feats, labels, stages = self._encode_train_fresh()
+                self._train_feats = (feats, labels, stages)
             # per-epoch LR (scheduler stepped per epoch, proof.py:363,452;
             # fix-mode honors lr_scheduler/milestones/gamma); keep the dtype
             # stable so the jitted step never retraces
