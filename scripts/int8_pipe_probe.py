@@ -32,24 +32,30 @@ from team_tpu.ops.int8_matmul import (
 )
 
 M = 256 * 197
-N_INPUTS = 6
+N_INPUTS = 4
+LAYERS = 12  # GEMMs chained per dispatch: 48 GEMMs amortize the ~30 ms tunnel
+             # dispatch+fence overhead (6 independent GEMMs/dispatch measured a
+             # flat ~6 ms/GEMM for EVERY variant incl. XLA bf16 — pure overhead)
 
 
 def fence(xs):
     return float(sum(jnp.sum(x[:1, :1].astype(jnp.float32)) for x in xs))
 
 
-def bench(make_fn, inputs, label, flops, rounds=3):
-    f = jax.jit(make_fn)
-    outs = f(*inputs)
+def bench(fn, inputs_list, shared, label, flops, rounds=3):
+    # inputs MUST be jit arguments, not closure captures: closed-over device
+    # arrays become inline constants and blow the remote-compile request body
+    # (HTTP 413)
+    f = jax.jit(fn)
+    outs = [f(*i, *shared) for i in inputs_list]
     fence(outs)
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
-        outs = f(*inputs)
+        outs = [f(*i, *shared) for i in inputs_list]
         fence(outs)
         best = min(best, time.perf_counter() - t0)
-    per = best / N_INPUTS
+    per = best / (len(inputs_list) * LAYERS)
     print(f"{label}: {per * 1e3:.3f} ms/GEMM  {flops / per / 1e12:.1f} TOPS",
           flush=True)
     return per
@@ -80,32 +86,41 @@ def main():
         "bf16,base512,wres256,wres512,wres512s3,wres1024,wres1024s3,"
         "dma512,dma1024").split(",")
 
-    def run(label, fn):
-        bench(fn, (), label, flops)
+    def chain_bf16(x, w):
+        y = None
+        for _ in range(LAYERS):
+            y = x @ w
+            x = jnp.tanh(y[:, :k]).astype(jnp.bfloat16)
+        return y
+
+    def make_chain(kernel, **kw):
+        # kernel-only chain: int8 re-cast between layers (cheap, identical for
+        # every variant) defeats CSE/folding without paying a quantize pass
+        def f(q, s, w, wsc, bb):
+            y = None
+            for _ in range(LAYERS):
+                y = kernel(q, w, s, wsc, bb, **kw)
+                q = jnp.clip(y[:, :k], -127, 127).astype(jnp.int8)
+            return y
+        return f
 
     for v in variants:
         try:
             if v == "bf16":
-                bench(lambda *a: [x @ wb for x in xb_in], (), f"{which} xla-bf16", flops)
+                bench(chain_bf16, [(x,) for x in xb_in], (wb,),
+                      f"{which} xla-bf16", flops)
             elif v == "base512":
-                bench(lambda *a: [int8_linear(q, wq, s, ws, b) for q, s in zip(q_in, s_in)],
-                      (), f"{which} int8_linear bm=512 (r2 default)", flops)
-            elif v.startswith("wres"):
-                body = v[4:]
+                bench(make_chain(int8_linear),
+                      [(q, s) for q, s in zip(q_in, s_in)], (wq, ws, b),
+                      f"{which} int8_linear bm=512 (r2 default)", flops)
+            elif v.startswith("wres") or v.startswith("dma"):
+                kernel = int8_linear_wres if v.startswith("wres") else int8_linear_dma
+                body = v[4:] if v.startswith("wres") else v[3:]
                 bm, nsplit = (int(body.split("s")[0]), int(body.split("s")[1])) \
                     if "s" in body else (int(body), 1)
-                bench(lambda *a, bm=bm, nsplit=nsplit:
-                      [int8_linear_wres(q, wq, s, ws, b, block_m=bm, n_split=nsplit)
-                       for q, s in zip(q_in, s_in)],
-                      (), f"{which} wres bm={bm} n_split={nsplit}", flops)
-            elif v.startswith("dma"):
-                body = v[3:]
-                bm, nsplit = (int(body.split("s")[0]), int(body.split("s")[1])) \
-                    if "s" in body else (int(body), 1)
-                bench(lambda *a, bm=bm, nsplit=nsplit:
-                      [int8_linear_dma(q, wq, s, ws, b, block_m=bm, n_split=nsplit)
-                       for q, s in zip(q_in, s_in)],
-                      (), f"{which} dma bm={bm} n_split={nsplit}", flops)
+                bench(make_chain(kernel, block_m=bm, n_split=nsplit),
+                      [(q, s) for q, s in zip(q_in, s_in)], (wq, ws, b),
+                      f"{which} {v}", flops)
             else:
                 print(f"unknown variant {v}", flush=True)
         except Exception as e:

@@ -148,19 +148,44 @@ class BaseLearner:
         return keys
 
     def _cached_features(self, ds, batch_size=EVAL_BATCH) -> np.ndarray:
-        """Frozen basic features for every row of ``ds``, via the cache."""
+        """Frozen basic features for every row of ``ds``, via the cache.
+
+        Multi-host: the MISSING rows (identical on every host — the cache
+        evolves deterministically) are sharded over hosts, each host encodes
+        only its shard, and the shards are all-gathered into every host's
+        cache — so multi-host runs keep the run-wide encode-once property
+        (round-2 verdict weak #6) while splitting the encode work."""
         cache = getattr(self, "_feature_cache", None)
         if cache is None:
             cache = self._feature_cache = {}
         keys = self._feat_keys(ds)
         missing = np.asarray([i for i, k in enumerate(keys) if k not in cache])
         if len(missing):
-            loader = self._loader(ds, batch_size=batch_size, indices=missing)
-            for batch in loader:
-                v = int(batch.get("valid", len(batch["label"])))
-                feats = np.asarray(self.extract_vector(jnp.asarray(batch["image"])))
-                for row, f in zip(batch["index"][:v], feats[:v]):
-                    cache[keys[int(row)]] = f
+            multi = jax.process_count() > 1
+            rows = missing
+            if multi:
+                from team_tpu.parallel.mesh import host_shard_indices
+
+                rows = missing[host_shard_indices(len(missing))]
+            chunks = []
+            if len(rows):
+                loader = self._loader(ds, batch_size=batch_size, indices=rows)
+                for batch in loader:
+                    v = int(batch.get("valid", len(batch["label"])))
+                    feats = np.asarray(self.extract_vector(jnp.asarray(batch["image"])))
+                    if multi:
+                        chunks.append(feats[:v])
+                    else:
+                        for row, f in zip(batch["index"][:v], feats[:v]):
+                            cache[keys[int(row)]] = f
+            if multi:
+                from team_tpu.parallel.mesh import allgather_host_shards
+
+                local = (np.concatenate(chunks) if chunks
+                         else np.zeros((0, self.feature_dim), np.float32))
+                gathered = allgather_host_shards(local, len(missing))
+                for i, row in enumerate(missing):
+                    cache[keys[int(row)]] = gathered[i]
         return np.stack([cache[k] for k in keys])
 
     def _extract_vectors(self, loader: ArrayLoader) -> Tuple[np.ndarray, np.ndarray]:

@@ -91,11 +91,11 @@ class Learner(BaseLearner):
     def encode_image(self, images):
         """Projection-summed image features (reference Proof_Net.encode_image)."""
         basic = self.backbone.encode_image(images)
-        return _project_image_jit(self.trainable, basic, self.ctx)
+        return _project_image_jit(self._eval_params(), basic, self.ctx)
 
     def encode_text_labels(self, texts):
         basic = self.backbone.encode_texts(texts)
-        return _project_text_jit(self.trainable, basic, self.ctx)
+        return _project_text_jit(self._eval_params(), basic, self.ctx)
 
     # ------------------------------------------------------------------
     def _ensure_initialized(self, data_manager) -> None:
@@ -124,13 +124,18 @@ class Learner(BaseLearner):
         # the SPMD partitioner turns the CLIP loss into a global-batch loss with
         # all-gathers (replaces reference nn.DataParallel, proof.py:312-313)
         self._mesh_ctx = None
+        self._multiproc = jax.process_count() > 1
         if self.cfg.mesh_shape:
             from team_tpu.parallel.mesh import MeshContext, make_mesh
 
             mesh = make_mesh(tuple(self.cfg.mesh_shape), tuple(self.cfg.mesh_axis_names))
             self._mesh_ctx = MeshContext(mesh, self.cfg.mesh_axis_names[0])
             self.trainable = self._mesh_ctx.replicate(self.trainable)
-            self.buffers = ProofBuffers(*self._mesh_ctx.replicate(tuple(self.buffers)))
+            if not self._multiproc:
+                # multi-host keeps buffers HOST-LOCAL (identical on every
+                # process — deterministic orchestration); they are globalized
+                # per epoch-runner call. Evolve/eval paths then stay local.
+                self.buffers = ProofBuffers(*self._mesh_ctx.replicate(tuple(self.buffers)))
         # fix-mode global_clip_loss=False -> per-shard contrastive loss
         clip_shards = 1
         if (self._mesh_ctx is not None and not self.cfg.parity_mode
@@ -170,6 +175,7 @@ class Learner(BaseLearner):
         self.data_manager = data_manager
         self._ensure_initialized(data_manager)
         self.ctx = self._make_ctx()
+        self._ctx_global = None  # re-replicated per task under multi-host
         logging.info("Learning on %d-%d", self._known_classes, self._total_classes)
 
         train_ds = data_manager.get_multimodal_dataset(
@@ -267,9 +273,10 @@ class Learner(BaseLearner):
         return np.concatenate(feats), np.concatenate(labels), np.concatenate(stages)
 
     def _dataset_features(self, ds, normalize: bool = False):
-        # single-host + deterministic pipeline: serve from the run-wide frozen-
-        # feature cache (each image encoded at most once per run)
-        if jax.process_count() == 1 and self._cacheable(ds):
+        # deterministic pipeline: serve from the run-wide frozen-feature cache
+        # (each image encoded at most once per run; multi-host runs shard the
+        # missing-row encode over hosts and all-gather — base._cached_features)
+        if self._cacheable(ds):
             feats = self._cached_features(ds, batch_size=EVAL_BATCH)
             if normalize:
                 feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
@@ -307,7 +314,13 @@ class Learner(BaseLearner):
     # ------------------------------------------------------------------
     def _train_proj_with_replay(self) -> None:
         cfg = self.cfg
-        opt_state = self._tx.init(self.trainable)
+        if self._multiproc and self._mesh_ctx is not None:
+            # optax.init runs eager ops, which cannot consume global arrays:
+            # init from a local copy, then replicate the fresh state
+            opt_state = self._mesh_ctx.replicate(
+                self._tx.init(self._to_local(self.trainable)))
+        else:
+            opt_state = self._tx.init(self.trainable)
         feats, labels, stages = self._train_feats
         n = len(labels)
         shuffle_rng = np.random.default_rng(int(cfg.seed[0]) + self._cur_task)
@@ -339,9 +352,10 @@ class Learner(BaseLearner):
             # per-epoch LR (scheduler stepped per epoch, proof.py:363,452;
             # fix-mode honors lr_scheduler/milestones/gamma); keep the dtype
             # stable so the jitted step never retraces
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                lr_schedule(cfg, epoch), dtype=jnp.float32
-            )
+            lr = jnp.asarray(lr_schedule(cfg, epoch), dtype=jnp.float32)
+            if self._multiproc and self._mesh_ctx is not None:
+                lr = self._mesh_ctx.replicate(lr)
+            opt_state.hyperparams["learning_rate"] = lr
             # test-support hook: the full-loop parity harness replays the
             # REFERENCE's recorded per-epoch batch order so both systems
             # consume identical batches (tests/ref_loop_harness.py)
@@ -378,9 +392,8 @@ class Learner(BaseLearner):
                 })
                 self._rng, sub = _split(self._rng)
                 rngs = jax.random.split(sub, chunk)
-                self.trainable, opt_state, tot = self._epoch_runner(
-                    self.trainable, opt_state, batches, self.ctx, self.buffers,
-                    rngs, epoch_arr,
+                self.trainable, opt_state, tot = self._call_epoch_runner(
+                    opt_state, batches, rngs, epoch_arr,
                 )
                 losses += float(tot.total_loss)
                 unicl_losses += float(tot.unicl_loss)
@@ -449,6 +462,35 @@ class Learner(BaseLearner):
     def _temporal_on(self) -> bool:
         """Fix-mode honors ``temporal_enabled`` (the reference always evolves)."""
         return self.cfg.parity_mode or bool(self.cfg.temporal_enabled)
+
+    # -- multi-host plumbing --------------------------------------------
+    def _to_local(self, tree):
+        """Host-local copy of a (fully-replicated) global pytree."""
+        return jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+    def _eval_params(self):
+        """Params usable in host-local eval jits: under multi-host the
+        trainable pytree is a global replicated array, which cannot mix with
+        process-local inputs in a local jit — pull a local copy instead."""
+        if self._multiproc and self._mesh_ctx is not None:
+            return self._to_local(self.trainable)
+        return self.trainable
+
+    def _call_epoch_runner(self, opt_state, batches, rngs, epoch_arr):
+        """Invoke the jitted epoch runner; under multi-host every input must be
+        a GLOBAL array (the runner is the one collective computation per
+        chunk), so host-local ctx/buffers/rngs/epoch are replicated in."""
+        ctx, buffers = self.ctx, self.buffers
+        if self._multiproc and self._mesh_ctx is not None:
+            rep = self._mesh_ctx.replicate
+            ctx = getattr(self, "_ctx_global", None)
+            if ctx is None:
+                ctx = self._ctx_global = TaskContext(*rep(tuple(self.ctx)))
+            buffers = ProofBuffers(*rep(tuple(self.buffers)))
+            rngs = rep(rngs)
+            epoch_arr = rep(epoch_arr)
+        return self._epoch_runner(self.trainable, opt_state, batches, ctx,
+                                  buffers, rngs, epoch_arr)
 
     def _put_stacked(self, tree):
         """Device-put stacked [K, B, ...] epoch batches; under a mesh the batch
@@ -556,10 +598,11 @@ class Learner(BaseLearner):
 
         text_features = self._zero_shot_text_features()
         feats, labels = self._zs_feats
+        tr = self._eval_params()
         y_pred = []
         for start, v in _padded_slices(len(labels), EVAL_BATCH):
             img = _project_image_jit(
-                self.trainable,
+                tr,
                 jnp.asarray(_pad_rows(feats[start : start + v], EVAL_BATCH)), self.ctx)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             logits = img @ text_features.T
@@ -585,6 +628,7 @@ class Learner(BaseLearner):
     # ------------------------------------------------------------------
     def _compute_accuracy(self) -> float:
         feats, labels, _ = self._test_feats
+        tr = self._eval_params()
         n = len(labels)
         k = n // EVAL_BATCH
         correct = 0
@@ -593,13 +637,13 @@ class Learner(BaseLearner):
             fb = feats[offset * EVAL_BATCH: (offset + chunk) * EVAL_BATCH]
             lb = labels[offset * EVAL_BATCH: (offset + chunk) * EVAL_BATCH]
             correct += int(eval_correct_scan(
-                self.trainable, jnp.asarray(fb.reshape(chunk, EVAL_BATCH, -1)),
+                tr, jnp.asarray(fb.reshape(chunk, EVAL_BATCH, -1)),
                 jnp.asarray(lb.reshape(chunk, EVAL_BATCH).astype(np.int32)), self.ctx))
             offset += chunk
         for start, v in _padded_slices(n - k * EVAL_BATCH, EVAL_BATCH):
             start += k * EVAL_BATCH
             f = jnp.asarray(_pad_rows(feats[start : start + v], EVAL_BATCH))
-            logits = eval_logits(self.trainable, f, self.ctx)
+            logits = eval_logits(tr, f, self.ctx)
             preds = np.asarray(jnp.argmax(logits, axis=1))[:v]
             correct += int((preds == labels[start : start + v]).sum())
         return float(np.around(correct * 100 / n, decimals=2))
@@ -609,10 +653,11 @@ class Learner(BaseLearner):
         # task's unshuffled test loader (exact: same dataset, same order)
         if loader is self.test_loader and getattr(self, "_test_feats", None) is not None:
             feats, labels, _ = self._test_feats
+            tr = self._eval_params()
             y_pred = []
             for start, v in _padded_slices(len(labels), EVAL_BATCH):
                 logits = eval_logits(
-                    self.trainable,
+                    tr,
                     jnp.asarray(_pad_rows(feats[start : start + v], EVAL_BATCH)),
                     self.ctx,
                 )
@@ -626,10 +671,11 @@ class Learner(BaseLearner):
                 y_pred.append(preds)
             return np.concatenate(y_pred), labels
         y_pred, y_true = [], []
+        tr = self._eval_params()
         for batch in loader:
             v = int(batch.get("valid", len(batch["label"])))
             basic = self.backbone.encode_image(jnp.asarray(batch["image"]))
-            logits = eval_logits(self.trainable, basic, self.ctx)
+            logits = eval_logits(tr, basic, self.ctx)
             k = min(self.topk, self._total_classes)
             preds = np.asarray(jax.lax.top_k(logits, k)[1])
             if k < self.topk:  # pad (reference proof.py:596-600)

@@ -85,7 +85,17 @@ class MeshContext:
         return out, valid
 
     def replicate(self, tree):
+        """Replicate host-local values over the mesh. Multi-host: every process
+        holds the same value (deterministic orchestration), so each contributes
+        its local copy to the global replicated array."""
         import jax.numpy as jnp
+
+        if jax.process_count() > 1:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.replicated, np.asarray(x)),
+                tree,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), self.replicated), tree
         )
