@@ -176,10 +176,24 @@ class BPETokenizer:
         return out
 
 
-def Tokenizer(bpe_path: str | None = None):
-    """Factory: BPE tokenizer when a vocab file is available, byte fallback otherwise."""
+def Tokenizer(bpe_path: str | None = None, require_bpe: bool = False):
+    """Factory: BPE tokenizer when a vocab file is available, byte fallback otherwise.
+
+    ``require_bpe=True`` hard-fails instead of falling back: a PRETRAINED
+    checkpoint's text tower is meaningless under byte-level ids, and the
+    silent fallback would corrupt every text feature (round-2 verdict weak #5).
+    """
     candidates = [bpe_path] if bpe_path else list(DEFAULT_BPE_PATHS)
     for p in candidates:
         if p and os.path.isfile(p):
             return BPETokenizer(p)
+    if require_bpe:
+        raise FileNotFoundError(
+            "no CLIP BPE vocabulary found (looked at: "
+            + ", ".join(str(p) for p in candidates if p)
+            + "). A pretrained checkpoint requires the matching BPE vocab — set "
+            "TEAM_BPE_VOCAB to bpe_simple_vocab_16e6.txt.gz, or pass "
+            "allow_byte_tokenizer=true to explicitly accept byte-level ids "
+            "(text features will NOT match the checkpoint's training)."
+        )
     return ByteTokenizer()

@@ -39,7 +39,8 @@ class BackboneRuntime:
         self.cfg = cfg
         self.clip_cfg = clip_config_for(cfg)
         ckpt = os.environ.get("TEAM_CLIP_CHECKPOINT")
-        if ckpt and os.path.isfile(ckpt):
+        pretrained = bool(ckpt and os.path.isfile(ckpt))
+        if pretrained:
             from team_tpu.backbone.import_weights import load_clip_checkpoint
 
             logging.info("loading CLIP checkpoint from %s", ckpt)
@@ -47,7 +48,10 @@ class BackboneRuntime:
         else:
             logging.info("no CLIP checkpoint available; random init (offline image)")
             self.params = init_clip_params(jax.random.PRNGKey(seed), self.clip_cfg)
-        self.tokenizer = Tokenizer()
+        # pretrained weights + byte-fallback ids would silently corrupt every
+        # text feature: require the real BPE vocab unless explicitly waived
+        self.tokenizer = Tokenizer(
+            require_bpe=pretrained and not cfg.get("allow_byte_tokenizer", False))
         self.out_dim = self.clip_cfg.embed_dim
         self.compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.attn_impl = cfg.attention_impl
