@@ -185,7 +185,13 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
         h = h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype)
         h = jax.nn.gelu(h, approximate=False)
         return x + h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
-    if impl == "mha_packed":
+    if impl == "mha_packed_tp":
+        # tensor-parallel packed kernel: heads split over the registered 2-D
+        # mesh's model axis via shard_map (team_tpu.ops.mha_short.set_tp_mesh)
+        from team_tpu.ops.mha_short import fused_mha_packed_tp
+
+        o = fused_mha_packed_tp(qkv, heads, causal=causal)
+    elif impl == "mha_packed":
         # transpose-free path: the kernel consumes the packed qkv projection
         # directly — no head-split transposes, no S-padding copies
         from team_tpu.ops.mha_short import fused_mha_packed

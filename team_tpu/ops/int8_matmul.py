@@ -541,7 +541,7 @@ def int8_linear_wres(
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
             bytes_accessed=m_pad * k + k * n + m_pad * n * 2,

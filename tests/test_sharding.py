@@ -144,3 +144,35 @@ def test_bi_modal_forward_shapes(rng):
     assert txt_f.shape == (2, 8)   # text outputs meaned over the batch dim
     assert proto_f.shape == (6, 8)
     assert np.isclose(float(scale), np.exp(2.0))
+
+
+def test_fused_mha_packed_tp_matches_single_device():
+    """Production packed attention under the 2-D (data, model) mesh: heads
+    split over the model axis via shard_map == single-device kernel (round-2
+    verdict weak #4)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from team_tpu.ops import mha_short
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    rng = np.random.default_rng(0)
+    b, s, d, heads = 8, 11, 64, 4
+    qkv = jnp.asarray(rng.standard_normal((b, s, 3 * d)).astype(np.float32))
+
+    want = mha_short.fused_mha_packed(qkv, heads, interpret=True)
+    mha_short.set_tp_mesh(mesh)
+    try:
+        got = mha_short.fused_mha_packed_tp(qkv, heads, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+        # causal path (text tower) too
+        want_c = mha_short.fused_mha_packed(qkv, heads, causal=True, interpret=True)
+        got_c = mha_short.fused_mha_packed_tp(qkv, heads, causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   atol=2e-5, rtol=2e-5)
+    finally:
+        mha_short.set_tp_mesh(None)
