@@ -104,9 +104,33 @@ def main():
             return y
         return f
 
+    def chain_bf16cast(q, w):
+        # XLA bf16 GEMM with the SAME int8 re-cast chain the pallas variants
+        # pay (tanh fuses into XLA's GEMM; the cast around a pallas call does
+        # not) — isolates the chain-protocol overhead from kernel throughput
+        y = None
+        for _ in range(LAYERS):
+            y = q.astype(jnp.bfloat16) @ w
+            q = jnp.clip(y[:, :k], -127, 127).astype(jnp.int8)
+        return y
+
+    def chain_xlaint8(q, w):
+        y = None
+        for _ in range(LAYERS):
+            y = jax.lax.dot_general(q, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            q = jnp.clip(y[:, :k], -127, 127).astype(jnp.int8)
+        return y
+
     for v in variants:
         try:
-            if v == "bf16":
+            if v == "bf16cast":
+                bench(chain_bf16cast, [(q,) for q in q_in], (wb,),
+                      f"{which} xla-bf16+cast-chain", flops)
+            elif v == "xlaint8":
+                bench(chain_xlaint8, [(q,) for q in q_in], (wq,),
+                      f"{which} xla int8 dot_general", flops)
+            elif v == "bf16":
                 bench(chain_bf16, [(x,) for x in xb_in], (wb,),
                       f"{which} xla-bf16", flops)
             elif v == "base512":

@@ -67,7 +67,8 @@ def _qlinear(x2d: jax.Array, qp: Dict[str, Any], activation=None, interpret=Fals
 
 
 def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
-                    *, attn_impl: str, interpret: bool) -> jax.Array:
+                    *, attn_impl: str, interpret: bool,
+                    causal: bool = False) -> jax.Array:
     """One quantized transformer block with deep kernel fusion (the measured
     requirement — standalone quantize passes cost a full HBM round trip each):
 
@@ -88,7 +89,8 @@ def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
     if attn_impl == "mha_packed":
         from team_tpu.ops.mha_short import fused_mha_packed
 
-        o = fused_mha_packed(qkv, heads, interpret=interpret).reshape(b * s, d)
+        o = fused_mha_packed(qkv, heads, causal=causal,
+                             interpret=interpret).reshape(b * s, d)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -96,7 +98,7 @@ def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
             return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
 
         o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
-                                 kv_len, causal=False, impl=attn_impl)
+                                 kv_len, causal=causal, impl=attn_impl)
         o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
     x = x + _qlinear(o, qb["out"], interpret=interpret).reshape(b, s, d)
 
@@ -107,6 +109,46 @@ def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
     proj = int8_linear_blockscale(gq, qb["proj"]["w_q"], gs, qb["proj"]["scale"],
                                   qb["proj"]["b"], interpret=interpret)
     return x + proj.reshape(b, s, d)
+
+
+def quantize_text_tower(params: Params) -> Dict[str, Any]:
+    """Offline weight quantization of the TEXT tower (round-2 verdict item 6:
+    zero-shot eval and ``_make_ctx`` text encoding ride the same int8 scheme
+    as the image tower). Embeddings / norms / final projection stay bf16."""
+    t = params["text"]
+    return {
+        "token_embedding": t["token_embedding"],
+        "pos": t["pos"],
+        "blocks": [quantize_block(b) for b in t["blocks"]],
+        "ln_final": t["ln_final"],
+        "proj": t["proj"],
+    }
+
+
+def encode_text_int8(
+    qtext: Dict[str, Any],
+    tokens: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    attn_impl: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Quantized text tower: ``[B, 77]`` int tokens -> ``[B, embed_dim]`` f32.
+
+    Same structure as :func:`team_tpu.backbone.clip.encode_text` (causal
+    attention, eot-argmax pooling, reference ``utils/inc_net.py`` encode_text
+    usage); GEMMs int8 per-token dynamic, attention core bf16."""
+    compute_dtype = jnp.bfloat16
+    x = qtext["token_embedding"][tokens].astype(compute_dtype)
+    x = x + qtext["pos"].astype(compute_dtype)
+    t = cfg.text
+    for qb in qtext["blocks"]:
+        x = _qblock_forward(qb, x, t.heads, t.context_length, causal=True,
+                            attn_impl=attn_impl, interpret=interpret)
+    x = _layer_norm(qtext["ln_final"], x)
+    eot = jnp.argmax(tokens, axis=-1)
+    x = x[jnp.arange(x.shape[0]), eot]
+    return (x @ qtext["proj"].astype(compute_dtype)).astype(jnp.float32)
 
 
 def encode_image_int8(

@@ -540,8 +540,10 @@ def int8_linear_wres(
         out_specs=pl.BlockSpec((bm, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
         interpret=interpret,
+        # "arbitrary" measured faster than "parallel" here (157 vs 144 TOPS,
+        # docs/BENCH.md round 3)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * k * n,
             bytes_accessed=m_pad * k + k * n + m_pad * n * 2,
