@@ -122,9 +122,54 @@ def main():
             q = jnp.clip(y[:, :k], -127, 127).astype(jnp.int8)
         return y
 
+    def fold_cols(y):
+        # consume EVERY output column (defeats dot-narrowing DCE on the
+        # chained slice): n is a multiple of k at the qkv/fc shapes
+        acc = y[:, :k]
+        for j in range(1, n // k):
+            acc = acc + y[:, j * k:(j + 1) * k]
+        return acc
+
+    def chain_bf16_fold(x, w):
+        y = None
+        for _ in range(LAYERS):
+            y = x @ w
+            x = jnp.tanh(fold_cols(y)).astype(jnp.bfloat16)
+        return y
+
+    def chain_xlaint8_fold(q, w):
+        y = None
+        for _ in range(LAYERS):
+            y = jax.lax.dot_general(q, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            q = jnp.clip(fold_cols(y) >> 8, -127, 127).astype(jnp.int8)
+        return y
+
+    def make_chain_fold(kernel, **kw):
+        def f(q, s, w, wsc, bb):
+            y = None
+            for _ in range(LAYERS):
+                y = kernel(q, w, s, wsc, bb, **kw)
+                q = jnp.clip(fold_cols(y), -127, 127).astype(jnp.int8)
+            return y
+        return f
+
     for v in variants:
         try:
-            if v == "bf16cast":
+            if v == "bf16fold":
+                bench(chain_bf16_fold, [(q.astype(jnp.bfloat16),) for q in q_in],
+                      (wb,), f"{which} xla-bf16 FOLD-ALL-COLS", flops)
+            elif v == "xlaint8fold":
+                bench(chain_xlaint8_fold, [(q,) for q in q_in], (wq,),
+                      f"{which} xla int8 FOLD-ALL-COLS", flops)
+            elif v.startswith("foldw"):
+                body = v[5:]
+                bm, nsplit = (int(body.split("s")[0]), int(body.split("s")[1])) \
+                    if "s" in body else (int(body), 1)
+                bench(make_chain_fold(int8_linear_wres, block_m=bm, n_split=nsplit),
+                      [(q, s) for q, s in zip(q_in, s_in)], (wq, ws, b),
+                      f"{which} wres{body} FOLD-ALL-COLS", flops)
+            elif v == "bf16cast":
                 bench(chain_bf16cast, [(q,) for q in q_in], (wb,),
                       f"{which} xla-bf16+cast-chain", flops)
             elif v == "xlaint8":

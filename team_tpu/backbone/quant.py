@@ -27,6 +27,7 @@ from team_tpu.ops.int8_matmul import (
     int8_linear,
     int8_linear_blockscale,
     int8_linear_gelu_quant,
+    int8_linear_xla,
     ln_quantize,
     quantize_rows,
     quantize_weight,
@@ -66,6 +67,112 @@ def _qlinear(x2d: jax.Array, qp: Dict[str, Any], activation=None, interpret=Fals
                        activation=activation, interpret=interpret)
 
 
+def _attn_core(qkv: jax.Array, heads: int, kv_len, *, attn_impl: str,
+               interpret: bool, causal: bool) -> jax.Array:
+    """Shared bf16 attention core: ``[b, s, 3d]`` packed qkv -> ``[b*s, d]``."""
+    b, s, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // heads
+    if attn_impl == "auto" and s < 512 and jax.default_backend() in ("tpu", "axon"):
+        attn_impl = "mha_packed"  # transpose-free packed kernel (see clip.py)
+    if attn_impl == "mha_packed":
+        from team_tpu.ops.mha_short import fused_mha_packed
+
+        return fused_mha_packed(qkv, heads, causal=causal,
+                                interpret=interpret).reshape(b * s, d)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+    o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
+                             kv_len, causal=causal, impl=attn_impl)
+    return o.transpose(0, 2, 1, 3).reshape(b * s, d)
+
+
+def _ln_quant_jnp(x2d: jax.Array, gamma: jax.Array, beta: jax.Array):
+    """Plain-jnp LayerNorm + per-row int8 quantize (XLA fuses the chain).
+    Numerics identical to :func:`team_tpu.ops.int8_matmul.ln_quantize`."""
+    x32 = x2d.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return quantize_rows(y)
+
+
+def _qblock_forward_xla(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
+                        *, attn_impl: str, interpret: bool,
+                        causal: bool = False) -> jax.Array:
+    """One quantized transformer block riding XLA's int8 GEMM engine.
+
+    Round-3 shoot-out result (docs/BENCH.md): XLA's int8 ``dot_general`` beats
+    every Mosaic kernel AND XLA's own bf16 at ViT shapes, and XLA fuses the
+    jnp quantize/dequant chains into the GEMM fusions on its own — no Pallas
+    needed anywhere on this path (the attention core is shared with the
+    Pallas variant). GELU is exact (erf), matching the bf16 tower.
+    """
+    b, s, d = x.shape
+    hq, hs = _ln_quant_jnp(x.reshape(b * s, d), qb["ln_1"]["scale"],
+                           qb["ln_1"]["bias"])
+    qkv = int8_linear_xla(hq, qb["qkv"]["w_q"], hs, qb["qkv"]["scale"],
+                          qb["qkv"]["b"]).reshape(b, s, 3 * d)
+    o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl,
+                   interpret=interpret, causal=causal)
+    oq, osc = quantize_rows(o)
+    x = x + int8_linear_xla(oq, qb["out"]["w_q"], osc, qb["out"]["scale"],
+                            qb["out"]["b"]).reshape(b, s, d)
+
+    hq, hs = _ln_quant_jnp(x.reshape(b * s, d), qb["ln_2"]["scale"],
+                           qb["ln_2"]["bias"])
+    h = int8_linear_xla(hq, qb["fc"]["w_q"], hs, qb["fc"]["scale"],
+                        qb["fc"]["b"], activation="gelu")
+    gq, gs = quantize_rows(h)
+    proj = int8_linear_xla(gq, qb["proj"]["w_q"], gs, qb["proj"]["scale"],
+                           qb["proj"]["b"])
+    return x + proj.reshape(b, s, d)
+
+
+def _qblock_forward_hybrid(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
+                           *, attn_impl: str, interpret: bool,
+                           causal: bool = False) -> jax.Array:
+    """Hybrid engine selection, one choice per GEMM (HLO-driven, round 3):
+
+    * LN → quantize: Pallas ``ln_quantize`` — ONE HBM pass; the pure-jnp LN
+      chain materializes THREE f32 copies of the activation (155 MB each at
+      B=256, seen in the optimized HLO);
+    * qkv / attn-out GEMMs: XLA int8 ``dot_general`` (the fastest engine,
+      ~1.25× bf16) — their dequant epilogues are pure-elementwise, so XLA
+      fuses them into the dot's output fusion (verified in HLO: one bf16
+      output buffer, no s32 round trip);
+    * fc GEMM: Pallas ``int8_linear_gelu_quant`` — the GELU+re-quantize
+      consumer contains a REDUCTION (row amax), which XLA cannot fuse into a
+      dot, so the XLA path pays a 310 MB bf16 materialize + 620 MB of
+      re-reads; the Pallas kernel keeps the [M, 4D] activation entirely in
+      VMEM;
+    * proj GEMM: Pallas ``int8_linear_blockscale`` (consumes the block-scale
+      int8 activation directly).
+    """
+    b, s, d = x.shape
+    hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_1"]["scale"],
+                         qb["ln_1"]["bias"], interpret=interpret)
+    qkv = int8_linear_xla(hq, qb["qkv"]["w_q"], hs, qb["qkv"]["scale"],
+                          qb["qkv"]["b"]).reshape(b, s, 3 * d)
+    o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl,
+                   interpret=interpret, causal=causal)
+    oq, osc = quantize_rows(o)
+    x = x + int8_linear_xla(oq, qb["out"]["w_q"], osc, qb["out"]["scale"],
+                            qb["out"]["b"]).reshape(b, s, d)
+
+    hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_2"]["scale"],
+                         qb["ln_2"]["bias"], interpret=interpret)
+    gq, gs = int8_linear_gelu_quant(hq, qb["fc"]["w_q"], hs, qb["fc"]["scale"],
+                                    qb["fc"]["b"], interpret=interpret)
+    proj = int8_linear_blockscale(gq, qb["proj"]["w_q"], gs, qb["proj"]["scale"],
+                                  qb["proj"]["b"], interpret=interpret)
+    return x + proj.reshape(b, s, d)
+
+
 def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
                     *, attn_impl: str, interpret: bool,
                     causal: bool = False) -> jax.Array:
@@ -79,27 +186,12 @@ def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
     * attention (softmax-bound) stays on the XLA path.
     """
     b, s, d = x.shape
-    dh = d // heads
     hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_1"]["scale"],
                          qb["ln_1"]["bias"], interpret=interpret)
     qkv = int8_linear(hq, qb["qkv"]["w_q"], hs, qb["qkv"]["scale"], qb["qkv"]["b"],
                       interpret=interpret).reshape(b, s, 3 * d)
-    if attn_impl == "auto" and s < 512 and jax.default_backend() in ("tpu", "axon"):
-        attn_impl = "mha_packed"  # transpose-free packed kernel (see clip.py)
-    if attn_impl == "mha_packed":
-        from team_tpu.ops.mha_short import fused_mha_packed
-
-        o = fused_mha_packed(qkv, heads, causal=causal,
-                             interpret=interpret).reshape(b * s, d)
-    else:
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split_heads(t):
-            return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
-
-        o = multi_head_attention(split_heads(q), split_heads(k), split_heads(v),
-                                 kv_len, causal=causal, impl=attn_impl)
-        o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+    o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl,
+                   interpret=interpret, causal=causal)
     x = x + _qlinear(o, qb["out"], interpret=interpret).reshape(b, s, d)
 
     hq, hs = ln_quantize(x.reshape(b * s, d), qb["ln_2"]["scale"],
@@ -131,6 +223,7 @@ def encode_text_int8(
     cfg: CLIPConfig,
     *,
     attn_impl: str = "auto",
+    gemm_impl: str = "xla",
     interpret: bool = False,
 ) -> jax.Array:
     """Quantized text tower: ``[B, 77]`` int tokens -> ``[B, embed_dim]`` f32.
@@ -139,12 +232,14 @@ def encode_text_int8(
     attention, eot-argmax pooling, reference ``utils/inc_net.py`` encode_text
     usage); GEMMs int8 per-token dynamic, attention core bf16."""
     compute_dtype = jnp.bfloat16
+    block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
+             "pallas": _qblock_forward}[gemm_impl]
     x = qtext["token_embedding"][tokens].astype(compute_dtype)
     x = x + qtext["pos"].astype(compute_dtype)
     t = cfg.text
     for qb in qtext["blocks"]:
-        x = _qblock_forward(qb, x, t.heads, t.context_length, causal=True,
-                            attn_impl=attn_impl, interpret=interpret)
+        x = block(qb, x, t.heads, t.context_length, causal=True,
+                  attn_impl=attn_impl, interpret=interpret)
     x = _layer_norm(qtext["ln_final"], x)
     eot = jnp.argmax(tokens, axis=-1)
     x = x[jnp.arange(x.shape[0]), eot]
@@ -157,13 +252,18 @@ def encode_image_int8(
     cfg: CLIPConfig,
     *,
     attn_impl: str = "auto",
+    gemm_impl: str = "xla",
     interpret: bool = False,
 ) -> jax.Array:
     """Quantized image tower: ``[B, H, W, 3]`` -> ``[B, embed_dim]`` f32.
 
     Same structure as :func:`team_tpu.backbone.clip.encode_image`; GEMMs in
-    int8, everything else bf16/f32."""
+    int8, everything else bf16/f32. ``gemm_impl``: ``"xla"`` (default — XLA's
+    int8 dot_general engine, the round-3 shoot-out winner) or ``"pallas"``
+    (the hand-tiled Mosaic kernels with fused quantize producers)."""
     v = cfg.vision
+    block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
+             "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
     # normalized with per-channel CLIP stats — row quantization would be fine,
@@ -176,7 +276,7 @@ def encode_image_int8(
     x = x + qvision["pos"].astype(compute_dtype)
     x = _layer_norm(qvision["ln_pre"], x)
     for qb in qvision["blocks"]:
-        x = _qblock_forward(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
-                            interpret=interpret)
+        x = block(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
+                  interpret=interpret)
     x = _layer_norm(qvision["ln_post"], x[:, 0])
     return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)

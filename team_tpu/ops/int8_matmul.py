@@ -276,6 +276,39 @@ def int8_linear(
     return out[:m] if m_pad != m else out
 
 
+def int8_linear_xla(
+    x_q: jax.Array,          # [M, K] int8
+    w_q: jax.Array,          # [K, N] int8
+    x_scale: jax.Array,      # [M, 1] or [1, M] f32
+    w_scale: jax.Array,      # [1, N] f32
+    bias: Optional[jax.Array] = None,  # [N]
+    *,
+    activation: Optional[str] = None,  # None | 'gelu'
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """int8 GEMM on XLA's OWN int8 ``dot_general`` engine.
+
+    Round-3 GEMM shoot-out (docs/BENCH.md, ``scripts/int8_pipe_probe.py``):
+    XLA lowers int8×int8→int32 at ~228 TOPS at the ViT qkv shape — 1.2× its
+    own bf16 (~190) and 1.5× the best hand-tiled Mosaic kernel (~157, which is
+    Mosaic-issue-pipeline-bound regardless of tiling strategy). The dequant /
+    bias / GELU epilogue is plain jnp so XLA fuses it into the GEMM's consumer
+    fusion. Exact (erf) GELU — unlike Mosaic, XLA has an erf lowering, so the
+    XLA int8 tower matches the bf16 tower's activation exactly.
+    """
+    acc = jax.lax.dot_general(
+        x_q, w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    xs = x_scale.reshape(-1, 1).astype(jnp.float32)   # [M, 1]
+    out = acc.astype(jnp.float32) * xs * w_scale.reshape(1, -1).astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.reshape(1, -1).astype(jnp.float32)
+    if activation == "gelu":
+        out = jax.nn.gelu(out, approximate=False)
+    return out.astype(out_dtype)
+
+
 def _ln_quant_kernel(x_ref, g_ref, b_ref, q_ref, s_ref):
     x = x_ref[...].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)

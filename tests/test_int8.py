@@ -15,10 +15,34 @@ import pytest
 
 from team_tpu.ops.int8_matmul import (
     int8_linear,
+    int8_linear_xla,
     quantize_rows,
     quantize_weight,
     quantized_linear,
 )
+
+
+def test_int8_linear_xla_matches_integer_reference(rng):
+    """The XLA dot_general path == the dequantized integer reference, with
+    exact (erf) GELU — unlike the Mosaic kernels' tanh approximation."""
+    m, k, n = 70, 96, 160
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    b = rng.standard_normal(n).astype(np.float32)
+    xq, xs = quantize_rows(jnp.asarray(x))
+    wq, ws = quantize_weight(jnp.asarray(w))
+
+    got = int8_linear_xla(xq, wq, xs, ws, jnp.asarray(b), out_dtype=jnp.float32)
+    want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)).astype(np.float32)
+    want = want * np.asarray(xs) * np.asarray(ws) + b
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+    gelu = int8_linear_xla(xq, wq, xs, ws, jnp.asarray(b), activation="gelu",
+                           out_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(gelu),
+        np.asarray(jax.nn.gelu(jnp.asarray(want), approximate=False)),
+        rtol=1e-5, atol=1e-4)
 
 
 def test_quantize_rows_roundtrip(rng):
@@ -107,8 +131,10 @@ def _cosine(a, b):
     return num / den
 
 
-def test_quantized_tower_cosine_gate(rng):
-    """encode_image_int8 must stay >= 0.999 cosine vs the bf16 tower."""
+@pytest.mark.parametrize("gemm_impl", ["pallas", "xla", "hybrid"])
+def test_quantized_tower_cosine_gate(rng, gemm_impl):
+    """encode_image_int8 must stay >= 0.999 cosine vs the bf16 tower (both
+    GEMM engines: the Mosaic kernels and XLA's int8 dot_general)."""
     from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
     from team_tpu.backbone.quant import encode_image_int8, quantize_vision_tower
 
@@ -119,7 +145,8 @@ def test_quantized_tower_cosine_gate(rng):
 
     ref = encode_image(params, imgs, cfg, compute_dtype=jnp.bfloat16, attn_impl="xla")
     qv = quantize_vision_tower(params)
-    got = encode_image_int8(qv, imgs, cfg, attn_impl="xla", interpret=True)
+    got = encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                            gemm_impl=gemm_impl, interpret=True)
     cos = _cosine(got, ref)
     assert cos.min() >= 0.999, cos
 
@@ -246,7 +273,8 @@ def test_int8_linear_nk_matches_plain(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
-def test_quantized_text_tower_cosine_gate(rng):
+@pytest.mark.parametrize("gemm_impl", ["pallas", "xla", "hybrid"])
+def test_quantized_text_tower_cosine_gate(rng, gemm_impl):
     """encode_text_int8 (causal, eot pooling) >= 0.999 cosine vs bf16
     encode_text (round-2 verdict item 6: the text tier rides int8 too)."""
     from team_tpu.backbone.clip import CLIPConfig, encode_text, init_clip_params
@@ -262,6 +290,7 @@ def test_quantized_text_tower_cosine_gate(rng):
     ]))
     ref = encode_text(params, toks, cfg, compute_dtype=jnp.bfloat16, attn_impl="xla")
     qt = quantize_text_tower(params)
-    got = encode_text_int8(qt, toks, cfg, attn_impl="xla", interpret=True)
+    got = encode_text_int8(qt, toks, cfg, attn_impl="xla",
+                           gemm_impl=gemm_impl, interpret=True)
     cos = _cosine(got, ref)
     assert cos.min() >= 0.999, cos
