@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from team_tpu.backbone.clip import CLIPConfig, init_clip_params
-from team_tpu.backbone.quant import _qblock_forward_xla, quantize_block
+from team_tpu.backbone.quant import (_qblock_forward, _qblock_forward_hybrid,
+                                     _qblock_forward_xla, quantize_block)
 
 
 def main():
@@ -28,9 +29,13 @@ def main():
     v = cfg.vision
     x = jnp.zeros((256, v.seq_len, v.width), jnp.bfloat16)
 
+    impl = os.environ.get("IMPL", "xla")
+    block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
+             "pallas": _qblock_forward}[impl]
+
     def f(qb, x):
-        return _qblock_forward_xla(qb, x, v.heads, v.seq_len,
-                                   attn_impl="auto", interpret=False)
+        return block(qb, x, v.heads, v.seq_len,
+                     attn_impl="auto", interpret=False)
 
     lowered = jax.jit(f).lower(qb, x)
     compiled = lowered.compile()
@@ -42,7 +47,7 @@ def main():
     except Exception as e:
         print(f"cost_analysis unavailable: {e}", flush=True)
     txt = compiled.as_text()
-    out = os.environ.get("HLO_OUT", "/tmp/int8_block_xla.hlo")
+    out = os.environ.get("HLO_OUT", f"/tmp/int8_block_{impl}.hlo")
     with open(out, "w") as fh:
         fh.write(txt)
     print(f"HLO -> {out} ({len(txt)} bytes)", flush=True)

@@ -18,7 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
-from team_tpu.backbone.quant import encode_image_int8, quantize_vision_tower
+from team_tpu.backbone.quant import (calibrate_vision_tower, encode_image_int8,
+                                     quantize_vision_tower,
+                                     quantize_vision_tower_static)
 from team_tpu.ops.preprocess import preprocess_batch
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,7 +28,7 @@ from bench import bench_scanned  # noqa: E402
 
 
 def main():
-    which = os.environ.get("WHICH", "bf16,pallas,xla,hybrid").split(",")
+    which = os.environ.get("WHICH", "bf16,pallas,xla,hybrid,static").split(",")
     batch = int(os.environ.get("BATCH", "256"))
     iters = int(os.environ.get("ITERS", "16"))
     cfg = CLIPConfig.vit_b16()
@@ -48,9 +50,17 @@ def main():
                                      gemm_impl=gemm_impl)
         return enc
 
+    qv_static = None
     for v in which:
         if v == "bf16":
             ips = bench_scanned(enc_bf16, params, xs, batch)
+        elif v == "static":
+            if qv_static is None:
+                calib_imgs = preprocess_batch(xs[0], cfg.vision.image_size)
+                calib = jax.jit(lambda p, im: calibrate_vision_tower(
+                    p, im, cfg, attn_impl="auto"))(params, calib_imgs)
+                qv_static = quantize_vision_tower_static(params, calib)
+            ips = bench_scanned(make_enc_int8("static"), qv_static, xs, batch)
         else:
             ips = bench_scanned(make_enc_int8(v), qv, xs, batch)
         print(f"B={batch} {v}: {ips:.0f} img/s", flush=True)

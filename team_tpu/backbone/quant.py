@@ -173,6 +173,147 @@ def _qblock_forward_hybrid(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
     return x + proj.reshape(b, s, d)
 
 
+# ---------------------------------------------------------------------------
+# Static (calibrated) activation quantization — the W8A8-static tier.
+#
+# Dynamic per-row scales force a row-amax REDUCTION between every producer and
+# every int8 GEMM; XLA cannot fuse reduction-bearing consumers into dots, so
+# each quantize costs a full HBM round trip of the activation (the measured
+# reason every dynamic int8 tower loses to bf16 — docs/BENCH.md round 3).
+# With per-INPUT-CHANNEL scales calibrated offline, quantization is pure
+# elementwise (q = clip(round(x * inv_scale))) and fuses into whatever
+# produced x, and the activation scale folds INTO the downstream weight:
+#     y = x @ w ≈ (q · s_a) @ w = q @ (s_a[:, None] · w)
+# so the GEMM epilogue never sees a per-row scale either. The entire block
+# becomes XLA int8 dots + fused elementwise chains: minimum HBM traffic AND
+# the fastest GEMM engine. (Same scheme as SmoothQuant-style static W8A8.)
+# ---------------------------------------------------------------------------
+
+
+def _block_calib_forward(blk: Params, x: jax.Array, heads: int, kv_len,
+                         *, attn_impl: str, causal: bool = False):
+    """bf16 block forward (numerics of ``clip._block_forward``) that also
+    returns the per-channel abs-max of the four GEMM input activations."""
+    b, s, d = x.shape
+    h = _layer_norm(blk["ln_1"], x).reshape(b * s, d)
+    a_ln1 = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=0)
+    qkv = (h @ blk["attn"]["qkv_w"].astype(h.dtype)
+           + blk["attn"]["qkv_b"].astype(h.dtype)).reshape(b, s, 3 * d)
+    o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl, interpret=False,
+                   causal=causal)
+    a_o = jnp.max(jnp.abs(o.astype(jnp.float32)), axis=0)
+    x = x + (o @ blk["attn"]["out_w"].astype(o.dtype)
+             + blk["attn"]["out_b"].astype(o.dtype)).reshape(b, s, d)
+    h = _layer_norm(blk["ln_2"], x).reshape(b * s, d)
+    a_ln2 = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=0)
+    g = jax.nn.gelu(h @ blk["mlp"]["fc_w"].astype(h.dtype)
+                    + blk["mlp"]["fc_b"].astype(h.dtype), approximate=False)
+    a_g = jnp.max(jnp.abs(g.astype(jnp.float32)), axis=0)
+    x = x + (g @ blk["mlp"]["proj_w"].astype(g.dtype)
+             + blk["mlp"]["proj_b"].astype(g.dtype)).reshape(b, s, d)
+    return x, {"ln1": a_ln1, "attn_o": a_o, "ln2": a_ln2, "gelu": a_g}
+
+
+def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
+                           *, attn_impl: str = "auto"):
+    """Per-block, per-channel activation abs-max over a calibration batch
+    (``[B, H, W, 3]`` preprocessed images). Run on representative data; the
+    returned stats feed :func:`quantize_vision_tower_static`."""
+    v = cfg.vision
+    compute_dtype = jnp.bfloat16
+    tokens = embed_patches(params, images, cfg, compute_dtype=compute_dtype)
+    b = tokens.shape[0]
+    vis = params["vision"]
+    cls = jnp.broadcast_to(vis["cls"].astype(compute_dtype), (b, 1, v.width))
+    x = jnp.concatenate([cls, tokens], axis=1)
+    x = x + vis["pos"].astype(compute_dtype)
+    x = _layer_norm(vis["ln_pre"], x)
+    stats = []
+    for blk in vis["blocks"]:
+        x, st = _block_calib_forward(blk, x, v.heads, v.seq_len,
+                                     attn_impl=attn_impl)
+        stats.append(st)
+    return stats
+
+
+def _fold_site(w: jax.Array, bias: jax.Array, amax: jax.Array,
+               margin: float) -> Dict[str, Any]:
+    """Fold the static activation scale into the weight and quantize it."""
+    amax = amax.astype(jnp.float32) * margin
+    s_a = jnp.where(amax > 0, amax / 127.0, 1.0)       # [K]
+    w_q, w_s = quantize_weight(w.astype(jnp.float32) * s_a[:, None])
+    return {"w_q": w_q, "scale": w_s, "b": bias.astype(jnp.float32),
+            "inv_a": (1.0 / s_a)[None, :]}             # [1, K]
+
+
+def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
+                          *, margin: float = 1.0) -> Dict[str, Any]:
+    return {
+        "ln_1": blk["ln_1"], "ln_2": blk["ln_2"],
+        "qkv": _fold_site(blk["attn"]["qkv_w"], blk["attn"]["qkv_b"],
+                          stats["ln1"], margin),
+        "out": _fold_site(blk["attn"]["out_w"], blk["attn"]["out_b"],
+                          stats["attn_o"], margin),
+        "fc": _fold_site(blk["mlp"]["fc_w"], blk["mlp"]["fc_b"],
+                         stats["ln2"], margin),
+        "proj": _fold_site(blk["mlp"]["proj_w"], blk["mlp"]["proj_b"],
+                           stats["gelu"], margin),
+    }
+
+
+def quantize_vision_tower_static(params: Params, calib_stats,
+                                 *, margin: float = 1.0) -> Dict[str, Any]:
+    """Offline static-W8A8 quantization of the image tower (activation scales
+    from :func:`calibrate_vision_tower` folded into the weights)."""
+    v = params["vision"]
+    return {
+        "patch_w": v["patch_w"],
+        "cls": v["cls"],
+        "pos": v["pos"],
+        "ln_pre": v["ln_pre"],
+        "blocks": [quantize_block_static(b, st, margin=margin)
+                   for b, st in zip(v["blocks"], calib_stats)],
+        "ln_post": v["ln_post"],
+        "proj": v["proj"],
+    }
+
+
+def _static_quant(x2d: jax.Array, inv_a: jax.Array) -> jax.Array:
+    """Pure-elementwise static quantize (fuses into the producer)."""
+    return jnp.clip(jnp.round(x2d.astype(jnp.float32) * inv_a),
+                    -127, 127).astype(jnp.int8)
+
+
+def _static_linear(q: jax.Array, site: Dict[str, Any],
+                   activation=None) -> jax.Array:
+    acc = jax.lax.dot_general(q, site["w_q"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * site["scale"] + site["b"][None, :]
+    if activation == "gelu":
+        out = jax.nn.gelu(out, approximate=False)
+    return out.astype(jnp.bfloat16)
+
+
+def _qblock_forward_static(qb: Dict[str, Any], x: jax.Array, heads: int,
+                           kv_len, *, attn_impl: str, interpret: bool,
+                           causal: bool = False) -> jax.Array:
+    """Static-W8A8 block: every quantize is elementwise, every GEMM is an XLA
+    int8 dot, nothing but the int8/bf16 tensors themselves touches HBM."""
+    b, s, d = x.shape
+    h = _layer_norm(qb["ln_1"], x).reshape(b * s, d)
+    qkv = _static_linear(_static_quant(h, qb["qkv"]["inv_a"]),
+                         qb["qkv"]).reshape(b, s, 3 * d)
+    o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl,
+                   interpret=interpret, causal=causal)
+    x = x + _static_linear(_static_quant(o, qb["out"]["inv_a"]),
+                           qb["out"]).reshape(b, s, d)
+    h = _layer_norm(qb["ln_2"], x).reshape(b * s, d)
+    g = _static_linear(_static_quant(h, qb["fc"]["inv_a"]), qb["fc"],
+                       activation="gelu")
+    p = _static_linear(_static_quant(g, qb["proj"]["inv_a"]), qb["proj"])
+    return x + p.reshape(b, s, d)
+
+
 def _qblock_forward(qb: Dict[str, Any], x: jax.Array, heads: int, kv_len,
                     *, attn_impl: str, interpret: bool,
                     causal: bool = False) -> jax.Array:
@@ -233,6 +374,7 @@ def encode_text_int8(
     usage); GEMMs int8 per-token dynamic, attention core bf16."""
     compute_dtype = jnp.bfloat16
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
+             "static": _qblock_forward_static,
              "pallas": _qblock_forward}[gemm_impl]
     x = qtext["token_embedding"][tokens].astype(compute_dtype)
     x = x + qtext["pos"].astype(compute_dtype)
@@ -263,6 +405,7 @@ def encode_image_int8(
     (the hand-tiled Mosaic kernels with fused quantize producers)."""
     v = cfg.vision
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
+             "static": _qblock_forward_static,
              "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are

@@ -71,6 +71,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_block_m(m: int, target: int) -> int:
+    """Largest block <= target that DIVIDES m (multiple of 8 for sublane
+    alignment). A divisor avoids M-padding entirely — at the production encode
+    shape (M = 256·197 = 50432) padding to the next 512 multiple materializes
+    a full pad copy + a select per Pallas call (78-156 MB each, seen in the
+    optimized HLO; docs/BENCH.md round 3)."""
+    for cand in range(min(target, m) // 8 * 8, 7, -8):
+        if m % cand == 0:
+            return cand
+    return min(target, _round_up(m, 32))  # fall back to padding
+
+
 def _pick_block_n(n: int, target: int) -> int:
     """Largest block <= target that divides n, preferring lane multiples (128)."""
     for cand in range(min(target, n) // 128 * 128, 0, -128):
@@ -113,7 +125,7 @@ def int8_linear_nk(
     layout jax's scaled_matmul convention uses) — tiling exploration."""
     m, k = x_q.shape
     n, _ = wt_q.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     bn = _pick_block_n(n, block_n)
     m_pad = _round_up(m, bm)
     if m_pad != m:
@@ -181,7 +193,7 @@ def int8_linear_kgrid(
     tiling exploration; same contract."""
     m, k = x_q.shape
     _, n = w_q.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     bn = _pick_block_n(n, block_n)
     bk = _pick_block_n(k, block_k)
     m_pad = _round_up(m, bm)
@@ -238,7 +250,7 @@ def int8_linear(
     """
     m, k = x_q.shape
     _, n = w_q.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     bn = _pick_block_n(n, block_n)  # must DIVIDE n — the grid has no remainder
     m_pad = _round_up(m, bm)
     if m_pad != m:
@@ -331,7 +343,7 @@ def ln_quantize(x: jax.Array, gamma: jax.Array, beta: jax.Array, *,
     fusing them removes that round trip (the measured win that makes the int8
     tower faster than bf16 — docs/BENCH.md)."""
     m, d = x.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
@@ -392,7 +404,7 @@ def int8_linear_gelu_quant(
     :func:`int8_linear_blockscale`."""
     m, k = x_q.shape
     _, n = w_q.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     bn = _pick_block_n(n, block_n)
     m_pad = _round_up(m, bm)
     if m_pad != m:
@@ -472,7 +484,7 @@ def int8_linear_blockscale(
     n_kb = x_scales.shape[0]
     assert k % n_kb == 0, (k, n_kb)
     bk = k // n_kb
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     bn = _pick_block_n(n, block_n)
     m_pad = _round_up(m, bm)
     if m_pad != m:
@@ -550,7 +562,7 @@ def int8_linear_wres(
     """
     m, k = x_q.shape
     _, n = w_q.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))
@@ -684,7 +696,7 @@ def int8_linear_dma(
     overlap beats Mosaic's cross-step scheduling (docs/BENCH.md round 3)."""
     m, k = x_q.shape
     _, n = w_q.shape
-    bm = min(block_m, _round_up(m, 32))
+    bm = _pick_block_m(m, block_m)
     m_pad = _round_up(m, bm)
     if m_pad != m:
         x_q = jnp.pad(x_q, ((0, m_pad - m), (0, 0)))

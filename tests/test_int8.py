@@ -151,6 +151,32 @@ def test_quantized_tower_cosine_gate(rng, gemm_impl):
     assert cos.min() >= 0.999, cos
 
 
+def test_static_w8a8_tower_cosine_gate(rng):
+    """Static (calibrated, scale-folded) W8A8 tower: cosine >= 0.999 vs bf16
+    on the calibration batch AND on held-out images (clipping risk is the
+    failure mode static quantization adds over dynamic)."""
+    from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((4, sz, sz, 3)).astype(np.float32))
+    held = jnp.asarray(rng.standard_normal((4, sz, sz, 3)).astype(np.float32))
+
+    calib = calibrate_vision_tower(params, imgs, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib)
+    for batch in (imgs, held):
+        ref = encode_image(params, batch, cfg, compute_dtype=jnp.bfloat16,
+                           attn_impl="xla")
+        got = encode_image_int8(qv, batch, cfg, attn_impl="xla",
+                                gemm_impl="static", interpret=True)
+        cos = _cosine(got, ref)
+        assert cos.min() >= 0.999, cos
+
+
 def test_quantized_linear_convenience(rng):
     x = rng.standard_normal((8, 32)).astype(np.float32)
     w = rng.standard_normal((32, 64)).astype(np.float32)
