@@ -19,18 +19,28 @@ import numpy as np
 
 from team_tpu.backbone.clip import CLIPConfig, init_clip_params
 from team_tpu.backbone.quant import (_qblock_forward, _qblock_forward_hybrid,
-                                     _qblock_forward_xla, quantize_block)
+                                     _qblock_forward_static,
+                                     _qblock_forward_xla, quantize_block,
+                                     quantize_block_static)
 
 
 def main():
     cfg = CLIPConfig.vit_b16()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    qb = quantize_block(params["vision"]["blocks"][0])
     v = cfg.vision
     x = jnp.zeros((256, v.seq_len, v.width), jnp.bfloat16)
 
     impl = os.environ.get("IMPL", "xla")
+    blk = params["vision"]["blocks"][0]
+    if impl == "static":
+        import numpy as _np
+        stats = {"ln1": jnp.ones((v.width,)), "attn_o": jnp.ones((v.width,)),
+                 "ln2": jnp.ones((v.width,)), "gelu": jnp.ones((4 * v.width,))}
+        qb = quantize_block_static(blk, stats)
+    else:
+        qb = quantize_block(blk)
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
+             "static": _qblock_forward_static,
              "pallas": _qblock_forward}[impl]
 
     def f(qb, x):

@@ -28,7 +28,7 @@ from bench import bench_scanned  # noqa: E402
 
 
 def main():
-    which = os.environ.get("WHICH", "bf16,pallas,xla,hybrid,static").split(",")
+    which = os.environ.get("WHICH", "bf16,pallas,xla,hybrid,static,static_qa").split(",")
     batch = int(os.environ.get("BATCH", "256"))
     iters = int(os.environ.get("ITERS", "16"))
     cfg = CLIPConfig.vit_b16()
@@ -54,13 +54,13 @@ def main():
     for v in which:
         if v == "bf16":
             ips = bench_scanned(enc_bf16, params, xs, batch)
-        elif v == "static":
+        elif v in ("static", "static_qa"):
             if qv_static is None:
                 calib_imgs = preprocess_batch(xs[0], cfg.vision.image_size)
                 calib = jax.jit(lambda p, im: calibrate_vision_tower(
                     p, im, cfg, attn_impl="auto"))(params, calib_imgs)
                 qv_static = quantize_vision_tower_static(params, calib)
-            ips = bench_scanned(make_enc_int8("static"), qv_static, xs, batch)
+            ips = bench_scanned(make_enc_int8(v), qv_static, xs, batch)
         else:
             ips = bench_scanned(make_enc_int8(v), qv, xs, batch)
         print(f"B={batch} {v}: {ips:.0f} img/s", flush=True)

@@ -196,7 +196,9 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
         # directly — no head-split transposes, no S-padding copies
         from team_tpu.ops.mha_short import fused_mha_packed
 
-        o = fused_mha_packed(qkv, heads, causal=causal)
+        o = fused_mha_packed(qkv, heads, causal=causal,
+                             kv_len=kv_len if (kv_len is not None
+                                               and kv_len < s) else None)
     else:
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -229,8 +231,32 @@ def embed_patches(params: Params, images: jax.Array, cfg: CLIPConfig, *,
     return x @ p["patch_w"].astype(compute_dtype)
 
 
+def _maybe_pad_seq(x: jax.Array, attn_impl: str, seq_pad: bool | None,
+                   auto_default: bool = False) -> jax.Array:
+    """Pad the sequence dim to the 16-sublane bf16 tile so every
+    ``[B, S, D] <-> [B*S, D]`` reshape in the tower is a FREE bitcast.
+
+    At S=197 those reshapes are real 77-232 MB layout copies, ~6 of them per
+    block layer (optimized-HLO measurement, docs/BENCH.md round 3). Pad rows
+    are zeros; attention masks keys >= the real kv_len, so real-row outputs
+    are exact. ``seq_pad=None`` defers to ``auto_default`` (measured: padding
+    WINS for the Pallas-heavy int8 static tower, +376 img/s, but LOSES for
+    the pure-XLA bf16 tower, -109 — the +5.6 % pad-row GEMM FLOPs outweigh
+    copies XLA already avoids); only attention impls that honor kv_len
+    masking may pad."""
+    s = x.shape[1]
+    if seq_pad is None:
+        seq_pad = (auto_default
+                   and jax.default_backend() in ("tpu", "axon")
+                   and attn_impl in ("auto", "mha_packed", "xla", "flash"))
+    if not seq_pad or s % 16 == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, (-s) % 16), (0, 0)))
+
+
 def encode_from_patches(params: Params, patch_tokens: jax.Array, cfg: CLIPConfig, *,
-                        compute_dtype=jnp.float32, attn_impl: str = "auto") -> jax.Array:
+                        compute_dtype=jnp.float32, attn_impl: str = "auto",
+                        seq_pad: bool | None = None) -> jax.Array:
     """Transformer stage over patch tokens (exposed separately so saliency /
     Grad-CAM can differentiate w.r.t. the patch activations)."""
     v = cfg.vision
@@ -240,6 +266,7 @@ def encode_from_patches(params: Params, patch_tokens: jax.Array, cfg: CLIPConfig
     x = jnp.concatenate([cls, patch_tokens.astype(compute_dtype)], axis=1)
     x = x + p["pos"].astype(compute_dtype)
     x = _layer_norm(p["ln_pre"], x)
+    x = _maybe_pad_seq(x, attn_impl, seq_pad)
     for blk in p["blocks"]:
         x = _block_forward(blk, x, v.heads, causal=False, kv_len=v.seq_len, impl=attn_impl)
     x = _layer_norm(p["ln_post"], x[:, 0])
@@ -247,11 +274,12 @@ def encode_from_patches(params: Params, patch_tokens: jax.Array, cfg: CLIPConfig
 
 
 def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, *,
-                 compute_dtype=jnp.float32, attn_impl: str = "auto") -> jax.Array:
+                 compute_dtype=jnp.float32, attn_impl: str = "auto",
+                 seq_pad: bool | None = None) -> jax.Array:
     """Image tower: ``[B, H, W, 3]`` float (already normalized) -> ``[B, embed_dim]``."""
     tokens = embed_patches(params, images, cfg, compute_dtype=compute_dtype)
     return encode_from_patches(params, tokens, cfg, compute_dtype=compute_dtype,
-                               attn_impl=attn_impl)
+                               attn_impl=attn_impl, seq_pad=seq_pad)
 
 
 def encode_text(params: Params, tokens: jax.Array, cfg: CLIPConfig, *,

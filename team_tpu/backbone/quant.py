@@ -21,7 +21,8 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from team_tpu.backbone.clip import CLIPConfig, Params, _layer_norm, embed_patches
+from team_tpu.backbone.clip import (CLIPConfig, Params, _layer_norm,
+                                    _maybe_pad_seq, embed_patches)
 from team_tpu.ops.attention import multi_head_attention
 from team_tpu.ops.int8_matmul import (
     int8_linear,
@@ -29,8 +30,10 @@ from team_tpu.ops.int8_matmul import (
     int8_linear_gelu_quant,
     int8_linear_xla,
     ln_quantize,
+    ln_quantize_static,
     quantize_rows,
     quantize_weight,
+    row_quant_static,
 )
 
 
@@ -78,8 +81,10 @@ def _attn_core(qkv: jax.Array, heads: int, kv_len, *, attn_impl: str,
     if attn_impl == "mha_packed":
         from team_tpu.ops.mha_short import fused_mha_packed
 
-        return fused_mha_packed(qkv, heads, causal=causal,
-                                interpret=interpret).reshape(b * s, d)
+        return fused_mha_packed(
+            qkv, heads, causal=causal, interpret=interpret,
+            kv_len=kv_len if (kv_len is not None and kv_len < s) else None,
+        ).reshape(b * s, d)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def split_heads(t):
@@ -199,6 +204,7 @@ def _block_calib_forward(blk: Params, x: jax.Array, heads: int, kv_len,
     a_ln1 = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=0)
     qkv = (h @ blk["attn"]["qkv_w"].astype(h.dtype)
            + blk["attn"]["qkv_b"].astype(h.dtype)).reshape(b, s, 3 * d)
+    a_qkv = jnp.max(jnp.abs(qkv.astype(jnp.float32)), axis=(0, 1))
     o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl, interpret=False,
                    causal=causal)
     a_o = jnp.max(jnp.abs(o.astype(jnp.float32)), axis=0)
@@ -211,7 +217,8 @@ def _block_calib_forward(blk: Params, x: jax.Array, heads: int, kv_len,
     a_g = jnp.max(jnp.abs(g.astype(jnp.float32)), axis=0)
     x = x + (g @ blk["mlp"]["proj_w"].astype(g.dtype)
              + blk["mlp"]["proj_b"].astype(g.dtype)).reshape(b, s, d)
-    return x, {"ln1": a_ln1, "attn_o": a_o, "ln2": a_ln2, "gelu": a_g}
+    return x, {"ln1": a_ln1, "attn_o": a_o, "ln2": a_ln2, "gelu": a_g,
+               "qkv_out": a_qkv}
 
 
 def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
@@ -248,10 +255,18 @@ def _fold_site(w: jax.Array, bias: jax.Array, amax: jax.Array,
 
 def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
                           *, margin: float = 1.0) -> Dict[str, Any]:
+    qkv_site = _fold_site(blk["attn"]["qkv_w"], blk["attn"]["qkv_b"],
+                          stats["ln1"], margin)
+    if "qkv_out" in stats:
+        # static quantization of the qkv GEMM OUTPUT (feeds the int8-in/
+        # int8-out attention kernel, gemm_impl="static_qa")
+        a = stats["qkv_out"].astype(jnp.float32) * margin
+        s_qkv = jnp.where(a > 0, a / 127.0, 1.0)
+        qkv_site["out_inv_a"] = (1.0 / s_qkv)[None, :]
+        qkv_site["deq"] = s_qkv[None, :]
     return {
         "ln_1": blk["ln_1"], "ln_2": blk["ln_2"],
-        "qkv": _fold_site(blk["attn"]["qkv_w"], blk["attn"]["qkv_b"],
-                          stats["ln1"], margin),
+        "qkv": qkv_site,
         "out": _fold_site(blk["attn"]["out_w"], blk["attn"]["out_b"],
                           stats["attn_o"], margin),
         "fc": _fold_site(blk["mlp"]["fc_w"], blk["mlp"]["fc_b"],
@@ -284,33 +299,75 @@ def _static_quant(x2d: jax.Array, inv_a: jax.Array) -> jax.Array:
                     -127, 127).astype(jnp.int8)
 
 
-def _static_linear(q: jax.Array, site: Dict[str, Any],
-                   activation=None) -> jax.Array:
+def _static_linear(q: jax.Array, site: Dict[str, Any], activation=None,
+                   quant_inv_a=None) -> jax.Array:
+    """XLA int8 dot + fused f32 dequant/bias/GELU epilogue. With
+    ``quant_inv_a`` the next site's static quantize rides the same fusion and
+    the result is int8 — the full-precision GEMM output never reaches HBM."""
     acc = jax.lax.dot_general(q, site["w_q"], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * site["scale"] + site["b"][None, :]
     if activation == "gelu":
         out = jax.nn.gelu(out, approximate=False)
+    if quant_inv_a is not None:
+        return jnp.clip(jnp.round(out * quant_inv_a), -127, 127).astype(jnp.int8)
     return out.astype(jnp.bfloat16)
 
 
 def _qblock_forward_static(qb: Dict[str, Any], x: jax.Array, heads: int,
                            kv_len, *, attn_impl: str, interpret: bool,
                            causal: bool = False) -> jax.Array:
-    """Static-W8A8 block: every quantize is elementwise, every GEMM is an XLA
-    int8 dot, nothing but the int8/bf16 tensors themselves touches HBM."""
+    """Static-W8A8 block: XLA int8 dots + one-pass Pallas static-quantize
+    producers. Every activation crosses HBM exactly once, in its narrowest
+    dtype (the pure-jnp v1 materialized six 155 MB f32 LN/layout copies per
+    layer — measured, docs/BENCH.md round 3)."""
     b, s, d = x.shape
-    h = _layer_norm(qb["ln_1"], x).reshape(b * s, d)
-    qkv = _static_linear(_static_quant(h, qb["qkv"]["inv_a"]),
-                         qb["qkv"]).reshape(b, s, 3 * d)
+    hq = ln_quantize_static(x.reshape(b * s, d), qb["ln_1"]["scale"],
+                            qb["ln_1"]["bias"], qb["qkv"]["inv_a"],
+                            interpret=interpret)
+    qkv = _static_linear(hq, qb["qkv"]).reshape(b, s, 3 * d)
     o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl,
                    interpret=interpret, causal=causal)
-    x = x + _static_linear(_static_quant(o, qb["out"]["inv_a"]),
-                           qb["out"]).reshape(b, s, d)
-    h = _layer_norm(qb["ln_2"], x).reshape(b * s, d)
-    g = _static_linear(_static_quant(h, qb["fc"]["inv_a"]), qb["fc"],
-                       activation="gelu")
-    p = _static_linear(_static_quant(g, qb["proj"]["inv_a"]), qb["proj"])
+    oq = row_quant_static(o, qb["out"]["inv_a"], interpret=interpret)
+    x = x + _static_linear(oq, qb["out"]).reshape(b, s, d)
+    hq = ln_quantize_static(x.reshape(b * s, d), qb["ln_2"]["scale"],
+                            qb["ln_2"]["bias"], qb["fc"]["inv_a"],
+                            interpret=interpret)
+    gq = _static_linear(hq, qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    p = _static_linear(gq, qb["proj"])
+    return x + p.reshape(b, s, d)
+
+
+def _qblock_forward_static_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
+                              kv_len, *, attn_impl: str, interpret: bool,
+                              causal: bool = False) -> jax.Array:
+    """Static-W8A8 block with QUANTIZED attention I/O: the qkv GEMM output is
+    statically quantized (fused elementwise epilogue), the int8-in/int8-out
+    packed kernel dequantizes q/k/v in VMEM and re-quantizes its output with
+    the out-projection's static scale. HBM traffic for the attention stage
+    drops from bf16 232+77 MB to int8 116+39 MB per layer, and the 2-D kernel
+    removes the [M,3D]<->[B,S,3D] reshape copies entirely.
+    ``attn_impl`` is ignored — this impl IS the attention choice."""
+    from team_tpu.ops.mha_short import fused_mha_packed_q
+
+    b, s, d = x.shape
+    hq = ln_quantize_static(x.reshape(b * s, d), qb["ln_1"]["scale"],
+                            qb["ln_1"]["bias"], qb["qkv"]["inv_a"],
+                            interpret=interpret)
+    qkvq = _static_linear(hq, qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a"])
+    oq = fused_mha_packed_q(qkvq, qb["qkv"]["deq"], qb["out"]["inv_a"],
+                            heads, seq=s, causal=causal,
+                            kv_len=kv_len if (kv_len is not None
+                                              and kv_len < s) else None,
+                            interpret=interpret)
+    x = x + _static_linear(oq, qb["out"]).reshape(b, s, d)
+    hq = ln_quantize_static(x.reshape(b * s, d), qb["ln_2"]["scale"],
+                            qb["ln_2"]["bias"], qb["fc"]["inv_a"],
+                            interpret=interpret)
+    gq = _static_linear(hq, qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    p = _static_linear(gq, qb["proj"])
     return x + p.reshape(b, s, d)
 
 
@@ -375,6 +432,7 @@ def encode_text_int8(
     compute_dtype = jnp.bfloat16
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
              "static": _qblock_forward_static,
+             "static_qa": _qblock_forward_static_qa,
              "pallas": _qblock_forward}[gemm_impl]
     x = qtext["token_embedding"][tokens].astype(compute_dtype)
     x = x + qtext["pos"].astype(compute_dtype)
@@ -396,6 +454,7 @@ def encode_image_int8(
     attn_impl: str = "auto",
     gemm_impl: str = "xla",
     interpret: bool = False,
+    seq_pad: bool | None = None,
 ) -> jax.Array:
     """Quantized image tower: ``[B, H, W, 3]`` -> ``[B, embed_dim]`` f32.
 
@@ -406,6 +465,7 @@ def encode_image_int8(
     v = cfg.vision
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
              "static": _qblock_forward_static,
+             "static_qa": _qblock_forward_static_qa,
              "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
@@ -418,6 +478,8 @@ def encode_image_int8(
     x = jnp.concatenate([cls, tokens], axis=1)
     x = x + qvision["pos"].astype(compute_dtype)
     x = _layer_norm(qvision["ln_pre"], x)
+    x = _maybe_pad_seq(x, attn_impl, seq_pad,
+                       auto_default=gemm_impl in ("static", "static_qa", "hybrid"))
     for qb in qvision["blocks"]:
         x = block(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
                   interpret=interpret)

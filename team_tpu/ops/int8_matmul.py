@@ -368,6 +368,83 @@ def ln_quantize(x: jax.Array, gamma: jax.Array, beta: jax.Array, *,
     return q[:m], s[:, :m]
 
 
+def _ln_quant_static_kernel(x_ref, g_ref, b_ref, ia_ref, q_ref):
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * g_ref[0, :][None, :] + b_ref[0, :][None, :]
+    y = y * ia_ref[0, :][None, :]
+    q_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def ln_quantize_static(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                       inv_a: jax.Array, *, block_m: int = 512,
+                       interpret: bool = False) -> jax.Array:
+    """Fused LayerNorm + STATIC per-channel int8 quantize in ONE HBM pass.
+
+    ``x: [M, D]``, ``inv_a: [1, D]`` (127 / calibrated channel amax) ->
+    ``q int8 [M, D]``. No scale output — the activation scale is folded into
+    the downstream weight (static-W8A8 scheme, ``backbone/quant.py``). The
+    pure-jnp chain materializes THREE f32 copies of the activation around
+    layout changes (measured, docs/BENCH.md round 3); this kernel reads the
+    bf16 input once and writes int8 once."""
+    m, d = x.shape
+    bm = _pick_block_m(m, block_m)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    q = pl.pallas_call(
+        _ln_quant_static_kernel,
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.int8),
+        interpret=interpret,
+    )(x, gamma.reshape(1, d).astype(jnp.float32),
+      beta.reshape(1, d).astype(jnp.float32),
+      inv_a.reshape(1, d).astype(jnp.float32))
+    return q[:m]
+
+
+def _row_quant_static_kernel(x_ref, ia_ref, q_ref):
+    y = x_ref[...].astype(jnp.float32) * ia_ref[0, :][None, :]
+    q_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "interpret"))
+def row_quant_static(x: jax.Array, inv_a: jax.Array, *, block_m: int = 512,
+                     interpret: bool = False) -> jax.Array:
+    """STATIC per-channel int8 quantize, one read + one write.
+
+    ``x: [M, D]`` bf16, ``inv_a: [1, D]`` -> ``q int8 [M, D]``. Exists because
+    the jnp equivalent materializes an f32 copy of ``x`` around the layout
+    copy XLA inserts at custom-call boundaries."""
+    m, d = x.shape
+    bm = _pick_block_m(m, block_m)
+    m_pad = _round_up(m, bm)
+    if m_pad != m:
+        x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+    q = pl.pallas_call(
+        _row_quant_static_kernel,
+        grid=(m_pad // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m_pad, d), jnp.int8),
+        interpret=interpret,
+    )(x, inv_a.reshape(1, d).astype(jnp.float32))
+    return q[:m]
+
+
 def _mm_gelu_quant_kernel(x_ref, w_ref, xs_ref, ws_ref, b_ref, q_ref, s_ref):
     acc = jax.lax.dot_general(
         x_ref[:], w_ref[:], (((1,), (0,)), ((), ())),

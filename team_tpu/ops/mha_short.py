@@ -133,17 +133,24 @@ def fused_mha_short_v2(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
-                       causal: bool, precision):
+                       causal: bool, precision, kv_len=None):
     """All heads of ``group`` samples from the PACKED [G, S, 3*D_model] qkv
     tensor — no head-split transposes, no S padding (the block spans the full
-    array, so Mosaic pads sublanes/lanes internally)."""
+    array, so Mosaic pads sublanes/lanes internally). ``kv_len`` masks key
+    columns >= kv_len (for towers running with the sequence padded to the
+    16-sublane tile so [B,S,D]<->[B*S,D] reshapes are free bitcasts)."""
     d_model = heads * dh
     s = qkv_ref.shape[1]
     group = qkv_ref.shape[0]
+    mask = None
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        causal_mask = cols <= rows
+        mask = cols <= rows
+    if kv_len is not None and kv_len < s:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        kv_mask = cols < kv_len
+        mask = kv_mask if mask is None else (mask & kv_mask)
     for g in range(group):
         for h in range(heads):
             q = qkv_ref[g][:, h * dh:(h + 1) * dh]
@@ -154,8 +161,8 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            if causal:
-                logits = jnp.where(causal_mask, logits, NEG_INF)
+            if mask is not None:
+                logits = jnp.where(mask, logits, NEG_INF)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -166,7 +173,8 @@ def _mha_packed_kernel(qkv_ref, o_ref, *, heads: int, dh: int, scale: float,
             o_ref[g, :, h * dh:(h + 1) * dh] = out.astype(o_ref.dtype)
 
 
-def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool) -> jax.Array:
+def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool,
+                          kv_len=None) -> jax.Array:
     """XLA equivalent of the packed kernel (drives the custom VJP backward):
     a pure layout wrapper around the canonical xla_attention."""
     from team_tpu.ops.flash_attention import xla_attention
@@ -179,21 +187,25 @@ def _xla_packed_reference(qkv: jax.Array, heads: int, causal: bool) -> jax.Array
     def hsplit(t):
         return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
 
-    o = xla_attention(hsplit(q), hsplit(k), hsplit(v), causal=causal)
+    o = xla_attention(hsplit(q), hsplit(k), hsplit(v),
+                      kv_len if (kv_len is not None and kv_len < s) else None,
+                      causal=causal)
     return o.transpose(0, 2, 1, 3).reshape(b, s, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _mha_packed_vjp(qkv, heads, causal, interpret, precision):
-    return _mha_packed_fwd_impl(qkv, heads, causal, interpret, precision)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _mha_packed_vjp(qkv, heads, causal, interpret, precision, kv_len):
+    return _mha_packed_fwd_impl(qkv, heads, causal, interpret, precision, kv_len)
 
 
-def _mha_packed_vjp_fwd(qkv, heads, causal, interpret, precision):
-    return _mha_packed_fwd_impl(qkv, heads, causal, interpret, precision), qkv
+def _mha_packed_vjp_fwd(qkv, heads, causal, interpret, precision, kv_len):
+    return (_mha_packed_fwd_impl(qkv, heads, causal, interpret, precision,
+                                 kv_len), qkv)
 
 
-def _mha_packed_vjp_bwd(heads, causal, interpret, precision, qkv, g):
-    _, pullback = jax.vjp(lambda t: _xla_packed_reference(t, heads, causal), qkv)
+def _mha_packed_vjp_bwd(heads, causal, interpret, precision, kv_len, qkv, g):
+    _, pullback = jax.vjp(
+        lambda t: _xla_packed_reference(t, heads, causal, kv_len), qkv)
     return pullback(g.astype(qkv.dtype))
 
 
@@ -201,20 +213,24 @@ _mha_packed_vjp.defvjp(_mha_packed_vjp_fwd, _mha_packed_vjp_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret",
-                                             "precision"))
+                                             "precision", "kv_len"))
 def fused_mha_packed(qkv: jax.Array, heads: int, *, causal: bool = False,
                      interpret: bool = False,
-                     precision: str | None = None) -> jax.Array:
+                     precision: str | None = None,
+                     kv_len: int | None = None) -> jax.Array:
     """MHA straight from the packed qkv projection.
 
     ``qkv: [B, S, 3*D_model]`` (the qkv GEMM output, no reshapes) ->
-    ``[B, S, D_model]`` attention output ready for the out-projection. All
-    positions are real keys (S unpadded — full-array blocks); ``causal=True``
-    applies the autoregressive mask (the CLIP text tower). Differentiable via
-    a custom VJP (XLA-derived backward — Grad-CAM and fine-tuning paths)."""
+    ``[B, S, D_model]`` attention output ready for the out-projection.
+    ``kv_len=None`` treats all S positions as real keys; an int masks key
+    columns >= kv_len (sequence-padded towers — pad rows produce garbage
+    queries that downstream slicing drops, but must never be ATTENDED TO).
+    ``causal=True`` applies the autoregressive mask (the CLIP text tower).
+    Differentiable via a custom VJP (XLA-derived backward — Grad-CAM and
+    fine-tuning paths)."""
     if precision is None:
         precision = "highest" if qkv.dtype == jnp.float32 else "default"
-    return _mha_packed_vjp(qkv, heads, causal, interpret, precision)
+    return _mha_packed_vjp(qkv, heads, causal, interpret, precision, kv_len)
 
 
 import os as _os
@@ -224,14 +240,16 @@ _PACKED_GROUP = max(1, int(_os.environ.get("TEAM_MHA_GROUP", "1")))
 
 
 def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
-                         interpret: bool, precision: str) -> jax.Array:
+                         interpret: bool, precision: str,
+                         kv_len: int | None = None) -> jax.Array:
     b, s, d3 = qkv.shape
     d_model = d3 // 3
     dh = d_model // heads
     g = _PACKED_GROUP if b % _PACKED_GROUP == 0 else 1
     kernel = functools.partial(_mha_packed_kernel, heads=heads, dh=dh,
                                scale=dh ** -0.5, causal=causal,
-                               precision=jax.lax.Precision(precision))
+                               precision=jax.lax.Precision(precision),
+                               kv_len=kv_len)
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
@@ -245,6 +263,93 @@ def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
             transcendentals=b * heads * s * s,
         ),
     )(qkv)
+
+
+def _mha_packed_q_kernel(qkv_ref, deq_ref, oinv_ref, o_ref, *, heads: int,
+                         dh: int, scale: float, causal: bool, kv_len,
+                         precision):
+    """int8-in / int8-out packed attention for the static-W8A8 tower.
+
+    Block = all rows of ONE sample from the 2-D ``[B*S, 3D]`` int8 qkv tensor
+    (no 3-D reshape anywhere: int8's (32, 128) tiling makes the
+    ``[M, 3D] -> [B, S, 3D]`` reshape a real copy at S % 32 != 0, so the
+    kernel stays 2-D and the grid strides samples). q/k/v dequantize in VMEM
+    with the static per-channel scales, attention runs in bf16/f32 exactly
+    like the bf16 kernel, and the output re-quantizes with the out-projection
+    site's static scale — HBM sees int8 in, int8 out."""
+    d_model = heads * dh
+    s = qkv_ref.shape[0]
+    mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        mask = cols <= rows
+    if kv_len is not None and kv_len < s:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        kv_mask = cols < kv_len
+        mask = kv_mask if mask is None else (mask & kv_mask)
+    deq = deq_ref[0, :]
+    for h in range(heads):
+        ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
+        q = qkv_ref[:, ql:ql + dh].astype(jnp.float32) * deq[ql:ql + dh][None, :]
+        k = qkv_ref[:, kl:kl + dh].astype(jnp.float32) * deq[kl:kl + dh][None, :]
+        v = qkv_ref[:, vl:vl + dh].astype(jnp.float32) * deq[vl:vl + dh][None, :]
+        q = (q * scale).astype(jnp.bfloat16)
+        logits = jax.lax.dot_general(
+            q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        if mask is not None:
+            logits = jnp.where(mask, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        out = out * oinv_ref[0, ql:ql + dh][None, :]
+        o_ref[:, ql:ql + dh] = jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "seq", "causal",
+                                             "kv_len", "interpret",
+                                             "precision"))
+def fused_mha_packed_q(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
+                       heads: int, *, seq: int, causal: bool = False,
+                       kv_len: int | None = None, interpret: bool = False,
+                       precision: str = "default") -> jax.Array:
+    """Static-W8A8 attention: ``[B*S, 3D]`` int8 qkv -> ``[B*S, D]`` int8.
+
+    ``deq: [1, 3D]`` dequant scales of the quantized qkv GEMM output;
+    ``o_inv: [1, D]`` the out-projection site's static quantize scales.
+    Forward-only (the quantized tier serves frozen-backbone inference;
+    training/Grad-CAM paths use the bf16 tower)."""
+    m, d3 = qkv_q.shape
+    d_model = d3 // 3
+    dh = d_model // heads
+    assert m % seq == 0, (m, seq)
+    b = m // seq
+    kernel = functools.partial(
+        _mha_packed_q_kernel, heads=heads, dh=dh, scale=dh ** -0.5,
+        causal=causal, kv_len=kv_len, precision=jax.lax.Precision(precision))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((seq, d3), lambda i: (i, 0)),
+                  pl.BlockSpec((1, d3), lambda i: (0, 0)),
+                  pl.BlockSpec((1, d_model), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((seq, d_model), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((m, d_model), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * seq * seq * dh,
+            bytes_accessed=4 * m * d3,
+            transcendentals=b * heads * seq * seq,
+        ),
+    )(qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+      o_inv.reshape(1, d_model).astype(jnp.float32))
 
 
 def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
