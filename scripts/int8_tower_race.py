@@ -28,7 +28,7 @@ from bench import bench_scanned  # noqa: E402
 
 
 def main():
-    which = os.environ.get("WHICH", "bf16,pallas,xla,hybrid,static,static_qa").split(",")
+    which = os.environ.get("WHICH", "bf16,pallas,xla,hybrid,static,static_qa,static3d").split(",")
     batch = int(os.environ.get("BATCH", "256"))
     iters = int(os.environ.get("ITERS", "16"))
     cfg = CLIPConfig.vit_b16()
@@ -43,6 +43,11 @@ def main():
         return encode_image(p, x, cfg, compute_dtype=jnp.bfloat16,
                             attn_impl="auto")
 
+    def enc_bf16_pad(p, x_u8):
+        x = preprocess_batch(x_u8, cfg.vision.image_size)
+        return encode_image(p, x, cfg, compute_dtype=jnp.bfloat16,
+                            attn_impl="auto", seq_pad=True)
+
     def make_enc_int8(gemm_impl):
         def enc(q, x_u8):
             x = preprocess_batch(x_u8, cfg.vision.image_size)
@@ -54,7 +59,9 @@ def main():
     for v in which:
         if v == "bf16":
             ips = bench_scanned(enc_bf16, params, xs, batch)
-        elif v in ("static", "static_qa"):
+        elif v == "bf16pad":
+            ips = bench_scanned(enc_bf16_pad, params, xs, batch)
+        elif v in ("static", "static_qa", "static3d"):
             if qv_static is None:
                 calib_imgs = preprocess_batch(xs[0], cfg.vision.image_size)
                 calib = jax.jit(lambda p, im: calibrate_vision_tower(

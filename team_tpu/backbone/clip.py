@@ -162,6 +162,11 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
         h = h @ p["mlp"]["fc_w"].astype(x.dtype) + p["mlp"]["fc_b"].astype(x.dtype)
         h = jax.nn.gelu(h, approximate=False)
         return x + h @ p["mlp"]["proj_w"].astype(x.dtype) + p["mlp"]["proj_b"].astype(x.dtype)
+    # Tower GEMMs stay 3-D ([B, S, D] @ [D, N]): XLA's batch-in-sublanes
+    # emitter builds VMEM-resident MEGA-FUSIONS (out-proj + MLP + LNs +
+    # residuals in ONE ~4.1 ms fusion/layer, profiler-measured) that beat the
+    # 2-D GEMM split end-to-end — the 2-D rewrite measured 2492 img/s padded
+    # vs 2983 for this form (docs/BENCH.md round 3). Do not "fix" this.
     h = _layer_norm(p["ln_1"], x)
     qkv = h @ p["attn"]["qkv_w"].astype(x.dtype) + p["attn"]["qkv_b"].astype(x.dtype)
     if impl == "auto" and s < 512:

@@ -254,7 +254,7 @@ def _fold_site(w: jax.Array, bias: jax.Array, amax: jax.Array,
 
 
 def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
-                          *, margin: float = 1.0) -> Dict[str, Any]:
+                          *, margin: float = 1.5) -> Dict[str, Any]:
     qkv_site = _fold_site(blk["attn"]["qkv_w"], blk["attn"]["qkv_b"],
                           stats["ln1"], margin)
     if "qkv_out" in stats:
@@ -277,7 +277,7 @@ def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
 
 
 def quantize_vision_tower_static(params: Params, calib_stats,
-                                 *, margin: float = 1.0) -> Dict[str, Any]:
+                                 *, margin: float = 1.5) -> Dict[str, Any]:
     """Offline static-W8A8 quantization of the image tower (activation scales
     from :func:`calibrate_vision_tower` folded into the weights)."""
     v = params["vision"]
@@ -301,16 +301,23 @@ def _static_quant(x2d: jax.Array, inv_a: jax.Array) -> jax.Array:
 
 def _static_linear(q: jax.Array, site: Dict[str, Any], activation=None,
                    quant_inv_a=None) -> jax.Array:
-    """XLA int8 dot + fused f32 dequant/bias/GELU epilogue. With
-    ``quant_inv_a`` the next site's static quantize rides the same fusion and
-    the result is int8 — the full-precision GEMM output never reaches HBM."""
+    """XLA int8 dot + fused dequant/bias/GELU epilogue. With ``quant_inv_a``
+    the next site's static quantize rides the same fusion and the result is
+    int8 — the full-precision GEMM output never reaches HBM.
+
+    GELU is tanh-approximate in bf16: the profiler showed the f32 erf chain
+    fused into the fc dot costs 2.95 ms/layer vs 0.69 ms for the identical
+    proj dot with a plain epilogue — the epilogue, not the GEMM, was the
+    cost. Same approximation the Mosaic kernels use; covered by the
+    tower-level cosine gate (docs/BENCH.md round 3)."""
     acc = jax.lax.dot_general(q, site["w_q"], (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * site["scale"] + site["b"][None, :]
     if activation == "gelu":
-        out = jax.nn.gelu(out, approximate=False)
+        out = jax.nn.gelu(out, approximate=True)
     if quant_inv_a is not None:
-        return jnp.clip(jnp.round(out * quant_inv_a), -127, 127).astype(jnp.int8)
+        return jnp.clip(jnp.round(out.astype(jnp.float32) * quant_inv_a),
+                        -127, 127).astype(jnp.int8)
     return out.astype(jnp.bfloat16)
 
 
@@ -337,6 +344,49 @@ def _qblock_forward_static(qb: Dict[str, Any], x: jax.Array, heads: int,
                         quant_inv_a=qb["proj"]["inv_a"])
     p = _static_linear(gq, qb["proj"])
     return x + p.reshape(b, s, d)
+
+
+def _static_linear3(q3: jax.Array, site: Dict[str, Any], activation=None,
+                    quant_inv_a=None) -> jax.Array:
+    """3-D form of :func:`_static_linear` (``[B, S, K] @ [K, N]``). XLA's
+    batch-in-sublanes emitter builds VMEM-resident mega-fusions around 3-D
+    dots (the discovery that explains the bf16 tower's speed — see
+    ``clip._block_forward``); this lets the int8 tier ride the same
+    lowering."""
+    acc = jax.lax.dot_general(q3, site["w_q"], (((2,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * site["scale"].reshape(1, 1, -1)
+           + site["b"].reshape(1, 1, -1))
+    if activation == "gelu":
+        out = jax.nn.gelu(out, approximate=True)
+    if quant_inv_a is not None:
+        return jnp.clip(jnp.round(out * quant_inv_a.reshape(1, 1, -1)),
+                        -127, 127).astype(jnp.int8)
+    return out.astype(jnp.bfloat16)
+
+
+def _static_quant3(x3: jax.Array, inv_a: jax.Array) -> jax.Array:
+    return jnp.clip(jnp.round(x3.astype(jnp.float32) * inv_a.reshape(1, 1, -1)),
+                    -127, 127).astype(jnp.int8)
+
+
+def _qblock_forward_static3d(qb: Dict[str, Any], x: jax.Array, heads: int,
+                             kv_len, *, attn_impl: str, interpret: bool,
+                             causal: bool = False) -> jax.Array:
+    """Static-W8A8 block, all-3-D, pure jnp (no Pallas producers): every
+    quantize is elementwise, every dot is 3-D — XLA fuses entire
+    LN→quant→dot→dequant→residual segments into single VMEM-resident
+    mega-fusions exactly as it does for the bf16 tower."""
+    b, s, d = x.shape
+    h = _layer_norm(qb["ln_1"], x)
+    qkv = _static_linear3(_static_quant3(h, qb["qkv"]["inv_a"]), qb["qkv"])
+    o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl,
+                   interpret=interpret, causal=causal).reshape(b, s, d)
+    x = x + _static_linear3(_static_quant3(o, qb["out"]["inv_a"]), qb["out"])
+    h = _layer_norm(qb["ln_2"], x)
+    g = _static_linear3(_static_quant3(h, qb["fc"]["inv_a"]), qb["fc"],
+                        activation="gelu", quant_inv_a=qb["proj"]["inv_a"])
+    return x + _static_linear3(g, qb["proj"])
 
 
 def _qblock_forward_static_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
@@ -433,6 +483,7 @@ def encode_text_int8(
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
              "static": _qblock_forward_static,
              "static_qa": _qblock_forward_static_qa,
+             "static3d": _qblock_forward_static3d,
              "pallas": _qblock_forward}[gemm_impl]
     x = qtext["token_embedding"][tokens].astype(compute_dtype)
     x = x + qtext["pos"].astype(compute_dtype)
@@ -466,6 +517,7 @@ def encode_image_int8(
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
              "static": _qblock_forward_static,
              "static_qa": _qblock_forward_static_qa,
+             "static3d": _qblock_forward_static3d,
              "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
@@ -479,7 +531,7 @@ def encode_image_int8(
     x = x + qvision["pos"].astype(compute_dtype)
     x = _layer_norm(qvision["ln_pre"], x)
     x = _maybe_pad_seq(x, attn_impl, seq_pad,
-                       auto_default=gemm_impl in ("static", "static_qa", "hybrid"))
+                       auto_default=gemm_impl in ("static", "static_qa", "static3d", "hybrid"))
     for qb in qvision["blocks"]:
         x = block(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
                   interpret=interpret)
