@@ -99,17 +99,27 @@ def main() -> None:
     ips = max(ips_scan, ips_disp)
 
     try:
-        from team_tpu.backbone.quant import encode_image_int8, quantize_vision_tower
+        from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                             encode_image_int8,
+                                             quantize_vision_tower_static)
 
-        qv = quantize_vision_tower(params)
+        # static-W8A8 tier (docs/BENCH.md round 3): per-channel activation
+        # scales calibrated on one batch and folded into the weights — every
+        # quantize is elementwise, every GEMM an XLA int8 3-D dot riding the
+        # same mega-fusion lowering as the bf16 tower
+        calib_imgs = preprocess_batch(xs[0], cfg.vision.image_size)
+        calib = jax.jit(lambda p, im: calibrate_vision_tower(
+            p, im, cfg, attn_impl="auto"))(params, calib_imgs)
+        qv = quantize_vision_tower_static(params, calib)
 
         def enc_int8(q, x_u8):
             x = preprocess_batch(x_u8, cfg.vision.image_size)
-            return encode_image_int8(q, x, cfg, attn_impl="auto")
+            return encode_image_int8(q, x, cfg, attn_impl="auto",
+                                     gemm_impl="static3d")
 
         ips_q = bench_scanned(enc_int8, qv, xs, batch_size)
-        _log(f"int8 tower: {ips_q:.0f} img/s (cosine >= 0.999 vs bf16, "
-             "tests/test_int8.py + scripts/int8_validate.py)")
+        _log(f"int8 static3d tower: {ips_q:.0f} img/s (cosine >= 0.999 vs "
+             "bf16, tests/test_int8.py + scripts/int8_validate.py)")
         ips = max(ips, ips_q)
     except Exception as e:  # pragma: no cover — int8 path must never kill the bench
         _log(f"int8 tower skipped: {e}")

@@ -48,11 +48,11 @@ def main():
         return encode_image(p, x, cfg, compute_dtype=jnp.bfloat16,
                             attn_impl="auto", seq_pad=True)
 
-    def make_enc_int8(gemm_impl):
+    def make_enc_int8(gemm_impl, **kw):
         def enc(q, x_u8):
             x = preprocess_batch(x_u8, cfg.vision.image_size)
             return encode_image_int8(q, x, cfg, attn_impl="auto",
-                                     gemm_impl=gemm_impl)
+                                     gemm_impl=gemm_impl, **kw)
         return enc
 
     qv_static = None
@@ -61,13 +61,14 @@ def main():
             ips = bench_scanned(enc_bf16, params, xs, batch)
         elif v == "bf16pad":
             ips = bench_scanned(enc_bf16_pad, params, xs, batch)
-        elif v in ("static", "static_qa", "static3d"):
+        elif v.startswith("static"):
             if qv_static is None:
                 calib_imgs = preprocess_batch(xs[0], cfg.vision.image_size)
                 calib = jax.jit(lambda p, im: calibrate_vision_tower(
                     p, im, cfg, attn_impl="auto"))(params, calib_imgs)
                 qv_static = quantize_vision_tower_static(params, calib)
-            ips = bench_scanned(make_enc_int8(v), qv_static, xs, batch)
+            impl, kw = (v[:-6], {"seq_pad": False}) if v.endswith("_nopad") else (v, {})
+            ips = bench_scanned(make_enc_int8(impl, **kw), qv_static, xs, batch)
         else:
             ips = bench_scanned(make_enc_int8(v), qv, xs, batch)
         print(f"B={batch} {v}: {ips:.0f} img/s", flush=True)

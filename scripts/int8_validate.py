@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
-from team_tpu.backbone.quant import encode_image_int8, quantize_vision_tower
+from team_tpu.backbone.quant import (calibrate_vision_tower, encode_image_int8,
+                                     quantize_vision_tower,
+                                     quantize_vision_tower_static)
 
 BATCH = int(os.environ.get("VAL_BATCH", "256"))
 ITERS = int(os.environ.get("VAL_ITERS", "16"))
@@ -50,7 +52,19 @@ def main():
     print("devices:", jax.devices(), flush=True)
     cfg = CLIPConfig.vit_b16()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
-    qv = jax.tree_util.tree_map(lambda x: x, quantize_vision_tower(params))
+    impl = os.environ.get("VAL_IMPL", "static3d")
+    if impl.startswith("static"):
+        # calibrate on a DIFFERENT batch than the gate batch (held-out gate:
+        # clipping from calibration-distribution mismatch is the static
+        # tier's failure mode)
+        rng_c = np.random.default_rng(123)
+        calib_imgs = jnp.asarray(
+            rng_c.standard_normal((BATCH, 224, 224, 3)).astype(np.float32))
+        calib = jax.jit(lambda p, im: calibrate_vision_tower(
+            p, im, cfg, attn_impl="auto"))(params, calib_imgs)
+        qv = quantize_vision_tower_static(params, calib)
+    else:
+        qv = jax.tree_util.tree_map(lambda x: x, quantize_vision_tower(params))
 
     rng = np.random.default_rng(0)
     xs = [jnp.asarray(rng.standard_normal((BATCH, 224, 224, 3)).astype(np.float32))
@@ -58,7 +72,8 @@ def main():
 
     f_bf16 = jax.jit(lambda p, x: encode_image(p, x, cfg, compute_dtype=jnp.bfloat16,
                                                attn_impl="auto"))
-    f_int8 = jax.jit(lambda q, x: encode_image_int8(q, x, cfg, attn_impl="auto"))
+    f_int8 = jax.jit(lambda q, x: encode_image_int8(q, x, cfg, attn_impl="auto",
+                                                    gemm_impl=impl))
 
     # cosine gate on the first batch
     a = np.asarray(f_bf16(params, xs[0]))

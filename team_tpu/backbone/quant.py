@@ -31,6 +31,7 @@ from team_tpu.ops.int8_matmul import (
     int8_linear_xla,
     ln_quantize,
     ln_quantize_static,
+    ln_quantize_static3,
     quantize_rows,
     quantize_weight,
     row_quant_static,
@@ -377,6 +378,9 @@ def _qblock_forward_static3d(qb: Dict[str, Any], x: jax.Array, heads: int,
     quantize is elementwise, every dot is 3-D — XLA fuses entire
     LN→quant→dot→dequant→residual segments into single VMEM-resident
     mega-fusions exactly as it does for the bf16 tower."""
+    # jnp LN + elementwise quantize, NOT the Pallas ln_quantize_static3
+    # kernel: the kernel variant measured 4061 img/s vs 4306 for this form
+    # (custom-call boundaries break XLA's fusion plan) — docs/BENCH.md.
     b, s, d = x.shape
     h = _layer_norm(qb["ln_1"], x)
     qkv = _static_linear3(_static_quant3(h, qb["qkv"]["inv_a"]), qb["qkv"])
@@ -531,7 +535,7 @@ def encode_image_int8(
     x = x + qvision["pos"].astype(compute_dtype)
     x = _layer_norm(qvision["ln_pre"], x)
     x = _maybe_pad_seq(x, attn_impl, seq_pad,
-                       auto_default=gemm_impl in ("static", "static_qa", "static3d", "hybrid"))
+                       auto_default=gemm_impl in ("static", "static_qa", "hybrid"))
     for qb in qvision["blocks"]:
         x = block(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
                   interpret=interpret)

@@ -413,6 +413,48 @@ def ln_quantize_static(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     return q[:m]
 
 
+def _ln_quant_static3_kernel(x_ref, g_ref, b_ref, ia_ref, q_ref):
+    x = x_ref[...].astype(jnp.float32)              # [G, S, D]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * g_ref[0, 0, :][None, None, :] + b_ref[0, 0, :][None, None, :]
+    y = y * ia_ref[0, 0, :][None, None, :]
+    q_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def ln_quantize_static3(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                        inv_a: jax.Array, *, group: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """3-D :func:`ln_quantize_static`: ``[B, S, D]`` bf16 -> ``[B, S, D]``
+    int8 with NO reshapes (int8's (32, 128) tiling makes the 2-D round trip
+    a real copy at S % 32 != 0; staying 3-D sidesteps it). One HBM read, one
+    int8 write — built to replace the separate XLA LN-reduce fusion
+    (~0.52 ms) + quantize clamp (~0.13 ms) pairs in the static3d profile.
+    MEASURED SLOWER end-to-end (4061 vs 4306 img/s padded): the custom-call
+    boundary breaks XLA's surrounding fusion plan. Kept as the measurement
+    record; the static3d block uses the jnp form."""
+    b, s, d = x.shape
+    g = group if b % group == 0 else 1
+    q = pl.pallas_call(
+        _ln_quant_static3_kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((g, s, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), jnp.int8),
+        interpret=interpret,
+    )(x, gamma.reshape(1, 1, d).astype(jnp.float32),
+      beta.reshape(1, 1, d).astype(jnp.float32),
+      inv_a.reshape(1, 1, d).astype(jnp.float32))
+    return q
+
+
 def _row_quant_static_kernel(x_ref, ia_ref, q_ref):
     y = x_ref[...].astype(jnp.float32) * ia_ref[0, :][None, :]
     q_ref[...] = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
