@@ -125,6 +125,11 @@ class Config:
     max_tasks: int = 0                   # 0 -> derived from protocol
     attention_impl: str = "auto"         # auto | pallas | xla
     compute_dtype: str = "float32"       # float32 | bfloat16 (backbone compute)
+    # frozen-backbone image-encode tier: bf16 | int8_static (calibrated
+    # static-W8A8 tower, ~1.5x encode throughput, cosine >= 0.999 gate at
+    # first use — replaces the reference's external CUDA encoder tier,
+    # utils/inc_net.py:19-32; docs/BENCH.md round 3)
+    encoder_quant: str = "bf16"
     cache_backbone_features: bool = False  # cache frozen features across epochs (breaks aug parity)
     # stochastic train pipelines (augment_ops / RandomResizedCrop datasets):
     # re-encode the train set every N epochs so augmentation is re-sampled as

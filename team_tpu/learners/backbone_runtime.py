@@ -80,8 +80,55 @@ class BackboneRuntime:
 
         self._encode_image_u8 = jax.jit(_encode_u8)
 
+        # int8 static-W8A8 encode tier (cfg.encoder_quant="int8_static"):
+        # calibrated lazily on the first batch, gated by a one-time cosine
+        # check vs the bf16 tower (>= 0.999 or it falls back). Replaces the
+        # reference's external CUDA encoder tier (utils/inc_net.py:19-32).
+        self.encoder_quant = cfg.get("encoder_quant", "bf16")
+        self._qvision = None
+        from team_tpu.ops.preprocess import preprocess_batch as _pp
+
+        self._preprocess = jax.jit(
+            lambda u8: _pp(u8, self.clip_cfg.vision.image_size))
+
+        def _encode_int8(qv, x):
+            from team_tpu.backbone.quant import encode_image_int8
+
+            return encode_image_int8(qv, x, self.clip_cfg,
+                                     attn_impl=self.attn_impl,
+                                     gemm_impl="static3d")
+
+        self._encode_int8 = jax.jit(_encode_int8)
+
+    def _calibrate_int8(self, x: jnp.ndarray) -> None:
+        from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                             quantize_vision_tower_static)
+
+        calib = jax.jit(lambda p, im: calibrate_vision_tower(
+            p, im, self.clip_cfg, attn_impl=self.attn_impl))(self.params, x)
+        qv = quantize_vision_tower_static(self.params, calib)
+        a = np.asarray(self._encode_image(self.params, x), np.float64)
+        b = np.asarray(self._encode_int8(qv, x), np.float64)
+        cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                                 * np.linalg.norm(b, axis=-1) + 1e-30)
+        if cos.min() >= 0.999:
+            self._qvision = qv
+            logging.info("int8_static encoder enabled (calibration cosine "
+                         "min %.6f)", cos.min())
+        else:  # pragma: no cover — safety valve
+            self.encoder_quant = "bf16"
+            logging.warning("int8_static cosine gate FAILED (min %.6f) — "
+                            "falling back to bf16 encode", cos.min())
+
     # -- frozen-backbone encodes ---------------------------------------
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.encoder_quant == "int8_static":
+            x = (self._preprocess(images) if images.dtype == jnp.uint8
+                 else images)
+            if self._qvision is None:
+                self._calibrate_int8(x)
+            if self.encoder_quant == "int8_static":  # gate may fall back
+                return self._encode_int8(self._qvision, x)
         if images.dtype == jnp.uint8:
             return self._encode_image_u8(self.params, images)
         return self._encode_image(self.params, images)

@@ -351,3 +351,40 @@ def test_backbone_runtime_checkpoint_without_vocab(tmp_path, monkeypatch):
     rt = br.BackboneRuntime(cfg_mod.Config(**ok))
     from team_tpu.backbone.tokenizer import ByteTokenizer
     assert isinstance(rt.tokenizer, ByteTokenizer)
+
+
+def test_backbone_runtime_int8_static_encoder():
+    """cfg.encoder_quant="int8_static": first batch calibrates, the static
+    tower passes the cosine gate, and subsequent encodes use it (round-3
+    encode tier; replaces the reference's CUDA encoder, inc_net.py:19-32)."""
+    from team_tpu.config import Config
+    from team_tpu.learners.backbone_runtime import BackboneRuntime
+
+    rng = np.random.default_rng(0)
+    cfg_q = Config(encoder_quant="int8_static", compute_dtype="bfloat16",
+                   extras={"tiny_backbone": True})
+    rt_q = BackboneRuntime(cfg_q)
+    cfg_b = Config(compute_dtype="bfloat16", extras={"tiny_backbone": True})
+    rt_b = BackboneRuntime(cfg_b)
+    sz = rt_q.clip_cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
+    held = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
+
+    fq = np.asarray(rt_q.encode_image(imgs), np.float64)   # calibrates here
+    assert rt_q.encoder_quant == "int8_static" and rt_q._qvision is not None
+    fb = np.asarray(rt_b.encode_image(imgs), np.float64)
+    cos = (fq * fb).sum(-1) / (np.linalg.norm(fq, axis=-1)
+                               * np.linalg.norm(fb, axis=-1))
+    assert cos.min() >= 0.999, cos
+    # held-out batch reuses the calibration (no re-calibration)
+    qv = rt_q._qvision
+    fq2 = np.asarray(rt_q.encode_image(held), np.float64)
+    assert rt_q._qvision is qv
+    fb2 = np.asarray(rt_b.encode_image(held), np.float64)
+    cos2 = (fq2 * fb2).sum(-1) / (np.linalg.norm(fq2, axis=-1)
+                                  * np.linalg.norm(fb2, axis=-1))
+    assert cos2.min() >= 0.999, cos2
+    # uint8 ingest path also routes through the quantized tower
+    u8 = jnp.asarray(rng.integers(0, 256, (4, sz, sz, 3), dtype=np.uint8))
+    f_u8 = rt_q.encode_image(u8)
+    assert f_u8.shape == (4, rt_q.out_dim)
