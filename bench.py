@@ -115,10 +115,10 @@ def main() -> None:
         def enc_int8(q, x_u8):
             x = preprocess_batch(x_u8, cfg.vision.image_size)
             return encode_image_int8(q, x, cfg, attn_impl="auto",
-                                     gemm_impl="static3d")
+                                     gemm_impl="static3d_qa")
 
         ips_q = bench_scanned(enc_int8, qv, xs, batch_size)
-        _log(f"int8 static3d tower: {ips_q:.0f} img/s (cosine >= 0.999 vs "
+        _log(f"int8 static3d_qa tower: {ips_q:.0f} img/s (cosine >= 0.999 vs "
              "bf16, tests/test_int8.py + scripts/int8_validate.py)")
         ips = max(ips, ips_q)
     except Exception as e:  # pragma: no cover — int8 path must never kill the bench

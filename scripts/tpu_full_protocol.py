@@ -1,6 +1,7 @@
 """Full IIMinsects-protocol-shaped run at production scale on TPU:
 20 classes, init 2 + increment 2 -> 10 tasks, 20 epochs/task, ViT-B/16 bf16."""
 
+import os
 import sys
 import time
 
@@ -19,6 +20,7 @@ def main():
         tuned_epoch=20, batch_size=16, init_lr=0.004, optimizer="adam",
         context_prompt_length_per_task=10, seed=[42], shuffle=True,
         compute_dtype="bfloat16", log_dir="/tmp/team_tpu_full_logs",
+        encoder_quant=os.environ.get("TEAM_ENCODER_QUANT", "bf16"),
         extras={"dataset_kwargs": {"num_classes": 20, "img_size": 224,
                                    "train_per_stage": 16, "test_per_stage": 4}},
     )

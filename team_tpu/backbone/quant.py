@@ -393,6 +393,34 @@ def _qblock_forward_static3d(qb: Dict[str, Any], x: jax.Array, heads: int,
     return x + _static_linear3(g, qb["proj"])
 
 
+def _qblock_forward_static3d_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
+                                kv_len, *, attn_impl: str, interpret: bool,
+                                causal: bool = False) -> jax.Array:
+    """static3d with QUANTIZED attention I/O: the qkv dot's static-quantize
+    epilogue emits int8 ``[B, S, 3D]`` (halving the attention stage's HBM
+    traffic) and :func:`fused_mha_packed_q3` dequantizes q/k/v in VMEM and
+    re-quantizes its output with the out-projection's static scale.
+    ``attn_impl`` is ignored — this impl IS the attention choice."""
+    from team_tpu.ops.mha_short import fused_mha_packed_q3
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True  # Pallas needs interpret mode off-TPU (CPU tests)
+    b, s, d = x.shape
+    h = _layer_norm(qb["ln_1"], x)
+    qkvq = _static_linear3(_static_quant3(h, qb["qkv"]["inv_a"]), qb["qkv"],
+                           quant_inv_a=qb["qkv"]["out_inv_a"])
+    oq = fused_mha_packed_q3(qkvq, qb["qkv"]["deq"], qb["out"]["inv_a"],
+                             heads, causal=causal,
+                             kv_len=kv_len if (kv_len is not None
+                                               and kv_len < s) else None,
+                             interpret=interpret)
+    x = x + _static_linear3(oq, qb["out"])
+    h = _layer_norm(qb["ln_2"], x)
+    g = _static_linear3(_static_quant3(h, qb["fc"]["inv_a"]), qb["fc"],
+                        activation="gelu", quant_inv_a=qb["proj"]["inv_a"])
+    return x + _static_linear3(g, qb["proj"])
+
+
 def _qblock_forward_static_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
                               kv_len, *, attn_impl: str, interpret: bool,
                               causal: bool = False) -> jax.Array:
@@ -405,6 +433,8 @@ def _qblock_forward_static_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
     ``attn_impl`` is ignored — this impl IS the attention choice."""
     from team_tpu.ops.mha_short import fused_mha_packed_q
 
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True  # Pallas needs interpret mode off-TPU (CPU tests)
     b, s, d = x.shape
     hq = ln_quantize_static(x.reshape(b * s, d), qb["ln_1"]["scale"],
                             qb["ln_1"]["bias"], qb["qkv"]["inv_a"],
@@ -488,6 +518,7 @@ def encode_text_int8(
              "static": _qblock_forward_static,
              "static_qa": _qblock_forward_static_qa,
              "static3d": _qblock_forward_static3d,
+             "static3d_qa": _qblock_forward_static3d_qa,
              "pallas": _qblock_forward}[gemm_impl]
     x = qtext["token_embedding"][tokens].astype(compute_dtype)
     x = x + qtext["pos"].astype(compute_dtype)
@@ -522,6 +553,7 @@ def encode_image_int8(
              "static": _qblock_forward_static,
              "static_qa": _qblock_forward_static_qa,
              "static3d": _qblock_forward_static3d,
+             "static3d_qa": _qblock_forward_static3d_qa,
              "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are

@@ -96,7 +96,7 @@ class BackboneRuntime:
 
             return encode_image_int8(qv, x, self.clip_cfg,
                                      attn_impl=self.attn_impl,
-                                     gemm_impl="static3d")
+                                     gemm_impl="static3d_qa")
 
         self._encode_int8 = jax.jit(_encode_int8)
 

@@ -352,6 +352,82 @@ def fused_mha_packed_q(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
       o_inv.reshape(1, d_model).astype(jnp.float32))
 
 
+def _mha_packed_q3_kernel(qkv_ref, deq_ref, oinv_ref, o_ref, *, heads: int,
+                          dh: int, scale: float, causal: bool, kv_len,
+                          precision):
+    """3-D form of :func:`_mha_packed_q_kernel` (``[G, S, 3D]`` int8 blocks)
+    for the all-3-D static3d tier — no 2-D reshapes anywhere."""
+    d_model = heads * dh
+    s = qkv_ref.shape[1]
+    group = qkv_ref.shape[0]
+    mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        mask = cols <= rows
+    if kv_len is not None and kv_len < s:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        kv_mask = cols < kv_len
+        mask = kv_mask if mask is None else (mask & kv_mask)
+    deq = deq_ref[0, :]
+    for g in range(group):
+        for h in range(heads):
+            ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
+            q = qkv_ref[g][:, ql:ql + dh].astype(jnp.float32) * deq[ql:ql + dh][None, :]
+            k = qkv_ref[g][:, kl:kl + dh].astype(jnp.float32) * deq[kl:kl + dh][None, :]
+            v = qkv_ref[g][:, vl:vl + dh].astype(jnp.float32) * deq[vl:vl + dh][None, :]
+            q = (q * scale).astype(jnp.bfloat16)
+            logits = jax.lax.dot_general(
+                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            if mask is not None:
+                logits = jnp.where(mask, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            out = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            out = out * oinv_ref[0, ql:ql + dh][None, :]
+            o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
+                                               -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "kv_len",
+                                             "interpret", "precision"))
+def fused_mha_packed_q3(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
+                        heads: int, *, causal: bool = False,
+                        kv_len: int | None = None, interpret: bool = False,
+                        precision: str = "default") -> jax.Array:
+    """Static-W8A8 attention, 3-D: ``[B, S, 3D]`` int8 qkv -> ``[B, S, D]``
+    int8 (see :func:`fused_mha_packed_q`). Forward-only."""
+    b, s, d3 = qkv_q.shape
+    d_model = d3 // 3
+    dh = d_model // heads
+    kernel = functools.partial(
+        _mha_packed_q3_kernel, heads=heads, dh=dh, scale=dh ** -0.5,
+        causal=causal, kv_len=kv_len, precision=jax.lax.Precision(precision))
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, d3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, d3), lambda i: (0, 0)),
+                  pl.BlockSpec((1, d_model), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((1, s, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d_model), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * s * dh,
+            bytes_accessed=4 * b * s * d3,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+      o_inv.reshape(1, d_model).astype(jnp.float32))
+
+
 def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
                        bout_ref, o_ref, *, heads: int, dh: int, scale: float,
                        causal: bool, precision):

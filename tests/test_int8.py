@@ -151,8 +151,10 @@ def test_quantized_tower_cosine_gate(rng, gemm_impl):
     assert cos.min() >= 0.999, cos
 
 
-def test_static_w8a8_tower_cosine_gate(rng):
-    """Static (calibrated, scale-folded) W8A8 tower: cosine >= 0.999 vs bf16
+@pytest.mark.parametrize("gemm_impl", ["static", "static3d", "static_qa",
+                                       "static3d_qa"])
+def test_static_w8a8_tower_cosine_gate(rng, gemm_impl):
+    """Static (calibrated, scale-folded) W8A8 towers: cosine >= 0.999 vs bf16
     on the calibration batch AND on held-out images (clipping risk is the
     failure mode static quantization adds over dynamic)."""
     from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
@@ -163,8 +165,8 @@ def test_static_w8a8_tower_cosine_gate(rng):
     cfg = CLIPConfig.tiny()
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
     sz = cfg.vision.image_size
-    imgs = jnp.asarray(rng.standard_normal((4, sz, sz, 3)).astype(np.float32))
-    held = jnp.asarray(rng.standard_normal((4, sz, sz, 3)).astype(np.float32))
+    imgs = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
+    held = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
 
     calib = calibrate_vision_tower(params, imgs, cfg, attn_impl="xla")
     qv = quantize_vision_tower_static(params, calib)
@@ -172,9 +174,9 @@ def test_static_w8a8_tower_cosine_gate(rng):
         ref = encode_image(params, batch, cfg, compute_dtype=jnp.bfloat16,
                            attn_impl="xla")
         got = encode_image_int8(qv, batch, cfg, attn_impl="xla",
-                                gemm_impl="static", interpret=True)
+                                gemm_impl=gemm_impl, interpret=True)
         cos = _cosine(got, ref)
-        assert cos.min() >= 0.999, cos
+        assert cos.min() >= 0.999, (gemm_impl, cos)
 
 
 def test_quantized_linear_convenience(rng):
