@@ -369,16 +369,20 @@ def _mha_packed_q3_kernel(qkv_ref, deq_ref, oinv_ref, o_ref, *, heads: int,
         cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
         kv_mask = cols < kv_len
         mask = kv_mask if mask is None else (mask & kv_mask)
-    deq = deq_ref[0, :]
+    # dequant in bf16 (the f32 variant costs ~2x the VPU convert/multiply
+    # work; bf16's precision loss is below the int8 quantization noise and
+    # matches the bf16 attention core's own operand precision). The q scale
+    # rides the bf16 deq multiply; logits/softmax stay f32.
+    deq = deq_ref[0, :].astype(jnp.bfloat16)
+    qscale = (deq_ref[0, :] * scale).astype(jnp.bfloat16)
     for g in range(group):
         for h in range(heads):
             ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
-            q = qkv_ref[g][:, ql:ql + dh].astype(jnp.float32) * deq[ql:ql + dh][None, :]
-            k = qkv_ref[g][:, kl:kl + dh].astype(jnp.float32) * deq[kl:kl + dh][None, :]
-            v = qkv_ref[g][:, vl:vl + dh].astype(jnp.float32) * deq[vl:vl + dh][None, :]
-            q = (q * scale).astype(jnp.bfloat16)
+            q = qkv_ref[g][:, ql:ql + dh].astype(jnp.bfloat16) * qscale[ql:ql + dh][None, :]
+            k = qkv_ref[g][:, kl:kl + dh].astype(jnp.bfloat16) * deq[kl:kl + dh][None, :]
+            v = qkv_ref[g][:, vl:vl + dh].astype(jnp.bfloat16) * deq[vl:vl + dh][None, :]
             logits = jax.lax.dot_general(
-                q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
             if mask is not None:
@@ -387,8 +391,7 @@ def _mha_packed_q3_kernel(qkv_ref, deq_ref, oinv_ref, o_ref, *, heads: int,
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             out = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
             out = out * oinv_ref[0, ql:ql + dh][None, :]
