@@ -499,6 +499,46 @@ def quantize_text_tower(params: Params) -> Dict[str, Any]:
     }
 
 
+def calibrate_text_tower(params: Params, tokens: jax.Array, cfg: CLIPConfig,
+                         *, attn_impl: str = "auto"):
+    """Per-block, per-channel activation abs-max of the TEXT tower over a
+    calibration token batch (``[B, 77]`` ids from the tokenizer). Feeds
+    :func:`quantize_text_tower_static`."""
+    t = cfg.text
+    p = params["text"]
+    x = p["token_embedding"][tokens].astype(jnp.bfloat16)
+    x = x + p["pos"].astype(jnp.bfloat16)
+    stats = []
+    for blk in p["blocks"]:
+        x, st = _block_calib_forward(blk, x, t.heads, t.context_length,
+                                     attn_impl=attn_impl, causal=True)
+        stats.append(st)
+    return stats
+
+
+def quantize_text_tower_static(params: Params, calib_stats,
+                               *, margin: float = 1.5) -> Dict[str, Any]:
+    """Static-W8A8 quantization of the text tower (same scale-folding scheme
+    as :func:`quantize_vision_tower_static`).
+
+    Accuracy caveat (measured, docs/BENCH.md): text activations quantize
+    WORSE than vision under static per-channel scales — cosine ~0.9988-0.9993
+    on random-init towers, resolution-bound (larger margins make it worse),
+    vs >= 0.9997 for the image tower. The gate-compliant production text tier
+    is the DYNAMIC scheme (``encode_text_int8(..., gemm_impl="xla")``); this
+    static variant exists for API symmetry and for deployments that calibrate
+    on their exact (finite, cached) prompt set."""
+    t = params["text"]
+    return {
+        "token_embedding": t["token_embedding"],
+        "pos": t["pos"],
+        "blocks": [quantize_block_static(b, st, margin=margin)
+                   for b, st in zip(t["blocks"], calib_stats)],
+        "ln_final": t["ln_final"],
+        "proj": t["proj"],
+    }
+
+
 def encode_text_int8(
     qtext: Dict[str, Any],
     tokens: jax.Array,

@@ -100,6 +100,18 @@ class BackboneRuntime:
 
         self._encode_int8 = jax.jit(_encode_int8)
 
+        def _encode_int8_u8(qv, images_u8):
+            # preprocess fused into the SAME jit: a separate preprocess
+            # dispatch costs a full tunnel round trip per batch
+            x = _pp(images_u8, self.clip_cfg.vision.image_size)
+            from team_tpu.backbone.quant import encode_image_int8
+
+            return encode_image_int8(qv, x, self.clip_cfg,
+                                     attn_impl=self.attn_impl,
+                                     gemm_impl="static3d_qa")
+
+        self._encode_int8_u8 = jax.jit(_encode_int8_u8)
+
     def _calibrate_int8(self, x: jnp.ndarray) -> None:
         from team_tpu.backbone.quant import (calibrate_vision_tower,
                                              quantize_vision_tower_static)
@@ -123,12 +135,14 @@ class BackboneRuntime:
     # -- frozen-backbone encodes ---------------------------------------
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         if self.encoder_quant == "int8_static":
-            x = (self._preprocess(images) if images.dtype == jnp.uint8
-                 else images)
+            is_u8 = images.dtype == jnp.uint8
             if self._qvision is None:
-                self._calibrate_int8(x)
+                self._calibrate_int8(self._preprocess(images) if is_u8
+                                     else images)
             if self.encoder_quant == "int8_static":  # gate may fall back
-                return self._encode_int8(self._qvision, x)
+                if is_u8:
+                    return self._encode_int8_u8(self._qvision, images)
+                return self._encode_int8(self._qvision, images)
         if images.dtype == jnp.uint8:
             return self._encode_image_u8(self.params, images)
         return self._encode_image(self.params, images)
