@@ -223,10 +223,16 @@ def _block_calib_forward(blk: Params, x: jax.Array, heads: int, kv_len,
 
 
 def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
-                           *, attn_impl: str = "auto"):
+                           *, attn_impl: str = "auto",
+                           return_features: bool = False):
     """Per-block, per-channel activation abs-max over a calibration batch
     (``[B, H, W, 3]`` preprocessed images). Run on representative data; the
-    returned stats feed :func:`quantize_vision_tower_static`."""
+    returned stats feed :func:`quantize_vision_tower_static`.
+
+    ``return_features=True`` additionally returns the bf16 tower's embedding
+    of the calibration batch (this forward IS the bf16 tower) — the cosine
+    gate then needs no separate bf16 encode graph, which on the axon tunnel
+    costs minutes of per-run warm-start (docs/BENCH.md round 3)."""
     v = cfg.vision
     compute_dtype = jnp.bfloat16
     tokens = embed_patches(params, images, cfg, compute_dtype=compute_dtype)
@@ -241,7 +247,11 @@ def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
         x, st = _block_calib_forward(blk, x, v.heads, v.seq_len,
                                      attn_impl=attn_impl)
         stats.append(st)
-    return stats
+    if not return_features:
+        return stats
+    feats = _layer_norm(vis["ln_post"], x[:, 0])
+    feats = (feats @ vis["proj"].astype(compute_dtype)).astype(jnp.float32)
+    return stats, feats
 
 
 def _fold_site(w: jax.Array, bias: jax.Array, amax: jax.Array,
@@ -277,10 +287,19 @@ def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
     }
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("margin",))
 def quantize_vision_tower_static(params: Params, calib_stats,
                                  *, margin: float = 1.5) -> Dict[str, Any]:
     """Offline static-W8A8 quantization of the image tower (activation scales
-    from :func:`calibrate_vision_tower` folded into the weights)."""
+    from :func:`calibrate_vision_tower` folded into the weights).
+
+    Jitted as ONE graph: the eager form issues ~600 tiny remote dispatches
+    (12 blocks x 4 sites x ~12 ops), each with a sub-second mini-compile the
+    persistent cache did not retain — measured ~550 s of per-run calibration
+    overhead on the axon tunnel (docs/BENCH.md round 3)."""
     v = params["vision"]
     return {
         "patch_w": v["patch_w"],
@@ -516,6 +535,7 @@ def calibrate_text_tower(params: Params, tokens: jax.Array, cfg: CLIPConfig,
     return stats
 
 
+@_functools.partial(jax.jit, static_argnames=("margin",))
 def quantize_text_tower_static(params: Params, calib_stats,
                                *, margin: float = 1.5) -> Dict[str, Any]:
     """Static-W8A8 quantization of the text tower (same scale-folding scheme

@@ -112,15 +112,24 @@ class BackboneRuntime:
 
         self._encode_int8_u8 = jax.jit(_encode_int8_u8)
 
-    def _calibrate_int8(self, x: jnp.ndarray) -> None:
+    def _calibrate_int8(self, images: jnp.ndarray) -> None:
         from team_tpu.backbone.quant import (calibrate_vision_tower,
                                              quantize_vision_tower_static)
 
-        calib = jax.jit(lambda p, im: calibrate_vision_tower(
-            p, im, self.clip_cfg, attn_impl=self.attn_impl))(self.params, x)
+        is_u8 = images.dtype == jnp.uint8
+        x = self._preprocess(images) if is_u8 else images
+        # the calibration forward IS the bf16 tower: reuse its features as
+        # the gate reference instead of compiling a separate bf16 encode
+        # graph; gate the int8 side through the SAME variant production will
+        # use (u8 or float) so no extra graph is ever built — each unique
+        # tower graph costs minutes of per-run warm-start on the axon tunnel
+        calib, ref = jax.jit(lambda p, im: calibrate_vision_tower(
+            p, im, self.clip_cfg, attn_impl=self.attn_impl,
+            return_features=True))(self.params, x)
         qv = quantize_vision_tower_static(self.params, calib)
-        a = np.asarray(self._encode_image(self.params, x), np.float64)
-        b = np.asarray(self._encode_int8(qv, x), np.float64)
+        a = np.asarray(ref, np.float64)
+        b = np.asarray(self._encode_int8_u8(qv, images) if is_u8
+                       else self._encode_int8(qv, images), np.float64)
         cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
                                  * np.linalg.norm(b, axis=-1) + 1e-30)
         if cos.min() >= 0.999:
@@ -135,12 +144,10 @@ class BackboneRuntime:
     # -- frozen-backbone encodes ---------------------------------------
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         if self.encoder_quant == "int8_static":
-            is_u8 = images.dtype == jnp.uint8
             if self._qvision is None:
-                self._calibrate_int8(self._preprocess(images) if is_u8
-                                     else images)
+                self._calibrate_int8(images)
             if self.encoder_quant == "int8_static":  # gate may fall back
-                if is_u8:
+                if images.dtype == jnp.uint8:
                     return self._encode_int8_u8(self._qvision, images)
                 return self._encode_int8(self._qvision, images)
         if images.dtype == jnp.uint8:

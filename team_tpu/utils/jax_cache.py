@@ -19,6 +19,10 @@ def enable(cache_dir: str | None = None) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # 0.0, not the 1.0 default: on the axon tunnel even "fast" compiles
+        # cost a multi-second round trip, and eager-op mini-compiles below
+        # the threshold were re-paid EVERY RUN (measured: ~550 s of task-1
+        # calibration overhead that never hit the cache — docs/BENCH.md)
     except Exception as e:  # older jax or read-only fs: keep going without cache
         logging.info("compilation cache unavailable: %s", e)
