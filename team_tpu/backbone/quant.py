@@ -375,6 +375,9 @@ def _static_linear3(q3: jax.Array, site: Dict[str, Any], activation=None,
     lowering."""
     acc = jax.lax.dot_general(q3, site["w_q"], (((2,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
+    # f32 dequant epilogue: a bf16 variant measured FLAT (4964 vs 4964 img/s
+    # — the conv-emitter fusions are not elementwise-bound), so keep the
+    # precision margin on the int32 accumulators
     out = (acc.astype(jnp.float32) * site["scale"].reshape(1, 1, -1)
            + site["b"].reshape(1, 1, -1))
     if activation == "gelu":

@@ -389,6 +389,9 @@ def _mha_packed_q3_kernel(qkv_ref, deq_ref, oinv_ref, o_ref, *, heads: int,
                 logits = jnp.where(mask, logits, NEG_INF)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
+            # NOT deferred-normalization: the v2-kernel trick (divide the
+            # [S, dh] output instead of the [S, S] matrix) measured 4776 vs
+            # 4964 img/s end-to-end here — reverted
             p = p / jnp.sum(p, axis=-1, keepdims=True)
             out = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
