@@ -31,7 +31,6 @@ from team_tpu.ops.int8_matmul import (
     int8_linear_xla,
     ln_quantize,
     ln_quantize_static,
-    ln_quantize_static3,
     quantize_rows,
     quantize_weight,
     row_quant_static,

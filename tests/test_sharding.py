@@ -80,6 +80,10 @@ def test_clip_loss_shard_map_all_gather(mesh):
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
+    if len(jax.devices()) < 8:
+        # TEAM_TESTS_TPU sessions run on the single real chip; this test
+        # needs the 8-device virtual CPU mesh (conftest default)
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
     __graft_entry__.dryrun_multichip(8)
 
 
