@@ -221,19 +221,25 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
     return x
 
 
-def embed_patches(params: Params, images: jax.Array, cfg: CLIPConfig, *,
-                  compute_dtype=jnp.float32) -> jax.Array:
-    """Patch-embedding stage: ``[B, H, W, 3]`` -> ``[B, g*g, width]`` (one MXU
-    matmul; pixel order matches the torch conv layout for weight import)."""
+def patch_pixels(images: jax.Array, cfg: CLIPConfig, *,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """``[B, H, W, 3]`` -> the patch-pixel matrix ``[B, g*g, 3*ps*ps]``
+    (pixel order matches the torch conv layout for weight import)."""
     v = cfg.vision
-    p = params["vision"]
     b = images.shape[0]
     g, ps = v.grid, v.patch_size
     x = images.astype(compute_dtype)
     x = x.reshape(b, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 5, 2, 4)  # B, gh, gw, C, ph, pw
-    x = x.reshape(b, g * g, 3 * ps * ps)
-    return x @ p["patch_w"].astype(compute_dtype)
+    return x.reshape(b, g * g, 3 * ps * ps)
+
+
+def embed_patches(params: Params, images: jax.Array, cfg: CLIPConfig, *,
+                  compute_dtype=jnp.float32) -> jax.Array:
+    """Patch-embedding stage: ``[B, H, W, 3]`` -> ``[B, g*g, width]`` (one MXU
+    matmul)."""
+    x = patch_pixels(images, cfg, compute_dtype=compute_dtype)
+    return x @ params["vision"]["patch_w"].astype(compute_dtype)
 
 
 def _maybe_pad_seq(x: jax.Array, attn_impl: str, seq_pad: bool | None,

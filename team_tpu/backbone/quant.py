@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from team_tpu.backbone.clip import (CLIPConfig, Params, _layer_norm,
-                                    _maybe_pad_seq, embed_patches)
+                                    _maybe_pad_seq, embed_patches,
+                                    patch_pixels)
 from team_tpu.ops.attention import multi_head_attention
 from team_tpu.ops.int8_matmul import (
     int8_linear,
@@ -234,9 +235,11 @@ def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
     costs minutes of per-run warm-start (docs/BENCH.md round 3)."""
     v = cfg.vision
     compute_dtype = jnp.bfloat16
-    tokens = embed_patches(params, images, cfg, compute_dtype=compute_dtype)
-    b = tokens.shape[0]
+    px = patch_pixels(images, cfg, compute_dtype=compute_dtype)
+    a_patch = jnp.max(jnp.abs(px.astype(jnp.float32)), axis=(0, 1))
     vis = params["vision"]
+    tokens = px @ vis["patch_w"].astype(compute_dtype)
+    b = tokens.shape[0]
     cls = jnp.broadcast_to(vis["cls"].astype(compute_dtype), (b, 1, v.width))
     x = jnp.concatenate([cls, tokens], axis=1)
     x = x + vis["pos"].astype(compute_dtype)
@@ -246,11 +249,12 @@ def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
         x, st = _block_calib_forward(blk, x, v.heads, v.seq_len,
                                      attn_impl=attn_impl)
         stats.append(st)
+    out = {"blocks": stats, "patch_in": a_patch}
     if not return_features:
-        return stats
+        return out
     feats = _layer_norm(vis["ln_post"], x[:, 0])
     feats = (feats @ vis["proj"].astype(compute_dtype)).astype(jnp.float32)
-    return stats, feats
+    return out, feats
 
 
 def _fold_site(w: jax.Array, bias: jax.Array, amax: jax.Array,
@@ -300,16 +304,26 @@ def quantize_vision_tower_static(params: Params, calib_stats,
     persistent cache did not retain — measured ~550 s of per-run calibration
     overhead on the axon tunnel (docs/BENCH.md round 3)."""
     v = params["vision"]
-    return {
+    if isinstance(calib_stats, (list, tuple)):  # legacy: per-block list only
+        block_stats, patch_in = calib_stats, None
+    else:
+        block_stats = calib_stats["blocks"]
+        patch_in = calib_stats.get("patch_in")
+    out = {
         "patch_w": v["patch_w"],
         "cls": v["cls"],
         "pos": v["pos"],
         "ln_pre": v["ln_pre"],
         "blocks": [quantize_block_static(b, st, margin=margin)
-                   for b, st in zip(v["blocks"], calib_stats)],
+                   for b, st in zip(v["blocks"], block_stats)],
         "ln_post": v["ln_post"],
         "proj": v["proj"],
     }
+    # NOTE: patch_in stats are recorded but the int8 patch-embed site is NOT
+    # built — the routed version measured 4899 vs 4964 img/s (see
+    # encode_image_int8); del quiets the unused-variable intent explicitly
+    del patch_in
+    return out
 
 
 def _static_quant(x2d: jax.Array, inv_a: jax.Array) -> jax.Array:
@@ -621,6 +635,9 @@ def encode_image_int8(
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
     # normalized with per-channel CLIP stats — row quantization would be fine,
     # but this keeps the first-layer numerics bit-comparable)
+    # patch embedding stays bf16: an int8 static patch dot was built and
+    # measured 4899 vs 4964 img/s end-to-end (the pixel quantize breaks the
+    # preprocess->patch-dot fusion) — docs/BENCH.md round 3
     fake = {"vision": {"patch_w": qvision["patch_w"]}}
     tokens = embed_patches(fake, images, cfg, compute_dtype=compute_dtype)
     b = tokens.shape[0]
