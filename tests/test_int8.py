@@ -354,3 +354,38 @@ def test_static_text_tower_cosine_gate(rng, gemm_impl):
                                gemm_impl=gemm_impl, interpret=True)
         cos = _cosine(got, ref)
         assert cos.min() >= 0.998, (gemm_impl, cos)
+
+
+def test_static_calib_legacy_list_accepted(rng):
+    """quantize_vision_tower_static accepts both the round-3 dict calibration
+    payload and the legacy per-block list (no patch stats)."""
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((2, sz, sz, 3)).astype(np.float32))
+    calib = calibrate_vision_tower(params, imgs, cfg, attn_impl="xla")
+    assert isinstance(calib, dict) and "blocks" in calib and "patch_in" in calib
+    qv_dict = quantize_vision_tower_static(params, calib)
+    qv_list = quantize_vision_tower_static(params, calib["blocks"])
+    for a, b in zip(jax.tree_util.tree_leaves(qv_dict),
+                    jax.tree_util.tree_leaves(qv_list)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_patch_pixels_matches_embed(rng):
+    """patch_pixels() @ patch_w == embed_patches (the refactor is pure)."""
+    from team_tpu.backbone.clip import (CLIPConfig, embed_patches,
+                                        init_clip_params, patch_pixels)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((2, sz, sz, 3)).astype(np.float32))
+    px = patch_pixels(imgs, cfg)
+    want = embed_patches(params, imgs, cfg)
+    np.testing.assert_allclose(np.asarray(px @ params["vision"]["patch_w"]),
+                               np.asarray(want), rtol=1e-6)
