@@ -268,7 +268,8 @@ def _fold_site(w: jax.Array, bias: jax.Array, amax: jax.Array,
 
 
 def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
-                          *, margin: float = 1.5) -> Dict[str, Any]:
+                          *, margin: float = 1.5,
+                          heads: int | None = None) -> Dict[str, Any]:
     qkv_site = _fold_site(blk["attn"]["qkv_w"], blk["attn"]["qkv_b"],
                           stats["ln1"], margin)
     if "qkv_out" in stats:
@@ -278,6 +279,22 @@ def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
         s_qkv = jnp.where(a > 0, a / 127.0, 1.0)
         qkv_site["out_inv_a"] = (1.0 / s_qkv)[None, :]
         qkv_site["deq"] = s_qkv[None, :]
+        if heads is not None:
+            # PER-HEAD-UNIFORM scales for the q/k segments: per-channel
+            # scales cannot be pulled out of the QKᵀ contraction, a per-head
+            # scalar can — enables the fully-integer QKᵀ MXU dot
+            # (fused_mha_packed_q3i, gemm_impl="static3d_qi*").
+            d = a.shape[0] // 3
+            dh = d // heads
+            aq = jnp.repeat(jnp.max(a[:d].reshape(heads, dh), axis=1), dh)
+            ak = jnp.repeat(jnp.max(a[d:2 * d].reshape(heads, dh), axis=1), dh)
+            au = jnp.concatenate([aq, ak, a[2 * d:]])
+            s_u = jnp.where(au > 0, au / 127.0, 1.0)
+            qkv_site["deq_i"] = s_u[None, :]
+            qkv_site["out_inv_a_i"] = (1.0 / s_u)[None, :]
+            sq_h = s_u[:d].reshape(heads, dh)[:, 0]
+            sk_h = s_u[d:2 * d].reshape(heads, dh)[:, 0]
+            qkv_site["qk_scale"] = (sq_h * sk_h * dh ** -0.5)[None, :]
     return {
         "ln_1": blk["ln_1"], "ln_2": blk["ln_2"],
         "qkv": qkv_site,
@@ -293,9 +310,10 @@ def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
 import functools as _functools
 
 
-@_functools.partial(jax.jit, static_argnames=("margin",))
+@_functools.partial(jax.jit, static_argnames=("margin", "heads"))
 def quantize_vision_tower_static(params: Params, calib_stats,
-                                 *, margin: float = 1.5) -> Dict[str, Any]:
+                                 *, margin: float = 1.5,
+                                 heads: int | None = None) -> Dict[str, Any]:
     """Offline static-W8A8 quantization of the image tower (activation scales
     from :func:`calibrate_vision_tower` folded into the weights).
 
@@ -314,7 +332,7 @@ def quantize_vision_tower_static(params: Params, calib_stats,
         "cls": v["cls"],
         "pos": v["pos"],
         "ln_pre": v["ln_pre"],
-        "blocks": [quantize_block_static(b, st, margin=margin)
+        "blocks": [quantize_block_static(b, st, margin=margin, heads=heads)
                    for b, st in zip(v["blocks"], block_stats)],
         "ln_post": v["ln_post"],
         "proj": v["proj"],
@@ -406,6 +424,38 @@ def _static_quant3(x3: jax.Array, inv_a: jax.Array) -> jax.Array:
                     -127, 127).astype(jnp.int8)
 
 
+import os as _os
+
+# LN reduce structure for the static3d towers (round-4 probe): "2pass" is the
+# jnp.mean/jnp.var form, "1pass" computes E[x] and E[x²] in ONE fused
+# reduction pass (sibling sums over the same operand) so the [B,S,D] residual
+# stream is read once, not twice, per LN site. Set TEAM_LN_MODE to override.
+_LN_MODE = _os.environ.get("TEAM_LN_MODE", "2pass")
+
+
+def _ln_quant3(x3: jax.Array, ln: Params, inv_a: jax.Array) -> jax.Array:
+    """Fused LayerNorm → static int8 quantize over ``[B, S, D]`` (pure jnp —
+    stays inside XLA's mega-fusion plan). The LN affine (γ, β) folds into the
+    static quantize constants, so after the normalize the chain is a single
+    multiply-add-round-clip; no intermediate bf16 rounding (round-4 verdict
+    item 2 — numerics within the int8 noise, covered by the cosine gates)."""
+    x32 = x3.astype(jnp.float32)
+    n = x3.shape[-1]
+    if _LN_MODE == "1pass":
+        s1 = jnp.sum(x32, axis=-1, keepdims=True)
+        s2 = jnp.sum(x32 * x32, axis=-1, keepdims=True)
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    else:
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    inv = inv_a.reshape(-1)
+    g = (ln["scale"].astype(jnp.float32) * inv).reshape(1, 1, -1)
+    b = (ln["bias"].astype(jnp.float32) * inv).reshape(1, 1, -1)
+    return jnp.clip(jnp.round(y * g + b), -127, 127).astype(jnp.int8)
+
+
 def _qblock_forward_static3d(qb: Dict[str, Any], x: jax.Array, heads: int,
                              kv_len, *, attn_impl: str, interpret: bool,
                              causal: bool = False) -> jax.Array:
@@ -453,6 +503,60 @@ def _qblock_forward_static3d_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
     h = _layer_norm(qb["ln_2"], x)
     g = _static_linear3(_static_quant3(h, qb["fc"]["inv_a"]), qb["fc"],
                         activation="gelu", quant_inv_a=qb["proj"]["inv_a"])
+    return x + _static_linear3(g, qb["proj"])
+
+
+def _qblock_forward_static3d_qaf(qb: Dict[str, Any], x: jax.Array, heads: int,
+                                 kv_len, *, attn_impl: str, interpret: bool,
+                                 causal: bool = False) -> jax.Array:
+    """static3d_qa with the FUSED one-pass LN→quantize producer
+    (:func:`_ln_quant3` — round-4 verdict item 2: the LN reduce chains were
+    13.1 ms of the 52 ms static3d_qa batch)."""
+    from team_tpu.ops.mha_short import fused_mha_packed_q3
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    b, s, d = x.shape
+    qkvq = _static_linear3(_ln_quant3(x, qb["ln_1"], qb["qkv"]["inv_a"]),
+                           qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a"])
+    oq = fused_mha_packed_q3(qkvq, qb["qkv"]["deq"], qb["out"]["inv_a"],
+                             heads, causal=causal,
+                             kv_len=kv_len if (kv_len is not None
+                                               and kv_len < s) else None,
+                             interpret=interpret)
+    x = x + _static_linear3(oq, qb["out"])
+    g = _static_linear3(_ln_quant3(x, qb["ln_2"], qb["fc"]["inv_a"]),
+                        qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    return x + _static_linear3(g, qb["proj"])
+
+
+def _qblock_forward_static3d_qi(qb: Dict[str, Any], x: jax.Array, heads: int,
+                                kv_len, *, attn_impl: str, interpret: bool,
+                                causal: bool = False,
+                                pv_int8: bool = False) -> jax.Array:
+    """static3d with fully-INTEGER QKᵀ attention (round-4 verdict item 1):
+    q/k segments quantized with per-head-uniform static scales (requires
+    ``quantize_*_static(..., heads=...)``) so QKᵀ runs int8×int8→int32 on the
+    MXU's native int8 mode; ``pv_int8`` also runs PV as an int8 dot (softmax
+    probabilities requantized in VMEM). LN producers use the fused one-pass
+    form."""
+    from team_tpu.ops.mha_short import fused_mha_packed_q3i
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    b, s, d = x.shape
+    qkvq = _static_linear3(_ln_quant3(x, qb["ln_1"], qb["qkv"]["inv_a"]),
+                           qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a_i"])
+    oq = fused_mha_packed_q3i(qkvq, qb["qkv"]["deq_i"], qb["qkv"]["qk_scale"],
+                              qb["out"]["inv_a"], heads, causal=causal,
+                              kv_len=kv_len if (kv_len is not None
+                                                and kv_len < s) else None,
+                              interpret=interpret, pv_int8=pv_int8)
+    x = x + _static_linear3(oq, qb["out"])
+    g = _static_linear3(_ln_quant3(x, qb["ln_2"], qb["fc"]["inv_a"]),
+                        qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
     return x + _static_linear3(g, qb["proj"])
 
 
@@ -595,6 +699,10 @@ def encode_text_int8(
              "static_qa": _qblock_forward_static_qa,
              "static3d": _qblock_forward_static3d,
              "static3d_qa": _qblock_forward_static3d_qa,
+             "static3d_qaf": _qblock_forward_static3d_qaf,
+             "static3d_qi": _qblock_forward_static3d_qi,
+             "static3d_qi2": _functools.partial(_qblock_forward_static3d_qi,
+                                                pv_int8=True),
              "pallas": _qblock_forward}[gemm_impl]
     x = qtext["token_embedding"][tokens].astype(compute_dtype)
     x = x + qtext["pos"].astype(compute_dtype)
@@ -630,6 +738,10 @@ def encode_image_int8(
              "static_qa": _qblock_forward_static_qa,
              "static3d": _qblock_forward_static3d,
              "static3d_qa": _qblock_forward_static3d_qa,
+             "static3d_qaf": _qblock_forward_static3d_qaf,
+             "static3d_qi": _qblock_forward_static3d_qi,
+             "static3d_qi2": _functools.partial(_qblock_forward_static3d_qi,
+                                                pv_int8=True),
              "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
     # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are

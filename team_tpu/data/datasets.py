@@ -263,6 +263,10 @@ class ImageFolderDataset(iData):
 # (reference utils/data.py:104-470 — per-name transform variants collapse onto
 # the deterministic CLIP pipeline or the ViT random-crop pipeline)
 _FOLDER_DATASETS = {
+    # imagenet1000/100 use the reference's train/val split layout and the
+    # torchvision random-resized-crop train pipeline (utils/data.py:122-180)
+    "imagenet1000": dict(deterministic_train=False, test_dir="val"),
+    "imagenet100": dict(deterministic_train=False, test_dir="val"),
     "imagenetr": dict(deterministic_train=False),
     "imageneta": dict(deterministic_train=False),
     "cub": dict(deterministic_train=False),

@@ -434,6 +434,113 @@ def fused_mha_packed_q3(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
       o_inv.reshape(1, d_model).astype(jnp.float32))
 
 
+def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
+                           heads: int, dh: int, causal: bool, kv_len,
+                           precision, pv_int8: bool):
+    """Fully-integer QKᵀ attention (round-4 verdict item 1).
+
+    Requires the q/k segments of the int8 qkv tensor to be quantized with
+    PER-HEAD-UNIFORM static scales (``quantize_block_static(..., heads=...)``):
+    per-channel scales cannot be pulled out of the QKᵀ contraction, but a
+    per-head scalar can — so QKᵀ runs as a native int8×int8→int32 MXU dot
+    with NO dequant multiplies on q/k at all, and the combined scale
+    ``s_q[h] * s_k[h] * dh**-0.5`` (``qks_ref: [1, H]``) applies once to the
+    int32 logits. ``pv_int8=True`` additionally requantizes the softmax
+    probabilities to int8 (p ∈ [0,1] → round(p·127), a uniform scale that
+    commutes with the contraction) so PV is an int8 dot too; v's per-channel
+    scale applies post-dot on the output columns."""
+    d_model = heads * dh
+    s = qkv_ref.shape[1]
+    group = qkv_ref.shape[0]
+    mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        mask = cols <= rows
+    if kv_len is not None and kv_len < s:
+        cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        kv_mask = cols < kv_len
+        mask = kv_mask if mask is None else (mask & kv_mask)
+    deq = deq_ref[0, :]
+    oinv = oinv_ref[0, :]
+    for g in range(group):
+        for h in range(heads):
+            ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
+            q8 = qkv_ref[g][:, ql:ql + dh]
+            k8 = qkv_ref[g][:, kl:kl + dh]
+            acc = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32, precision=precision,
+            )
+            logits = acc.astype(jnp.float32) * qks_ref[0:1, h:h + 1]
+            if mask is not None:
+                logits = jnp.where(mask, logits, NEG_INF)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            if pv_int8:
+                p8 = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
+                v8 = qkv_ref[g][:, vl:vl + dh]
+                out_i = jax.lax.dot_general(
+                    p8, v8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32, precision=precision,
+                )
+                pv_scale = (deq[vl:vl + dh] * oinv[ql:ql + dh]) * (1.0 / 127.0)
+                out = out_i.astype(jnp.float32) * pv_scale[None, :]
+            else:
+                v = (qkv_ref[g][:, vl:vl + dh].astype(jnp.bfloat16)
+                     * deq[vl:vl + dh].astype(jnp.bfloat16)[None, :])
+                out = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                out = out * oinv[ql:ql + dh][None, :]
+            o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
+                                               -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "kv_len",
+                                             "interpret", "precision",
+                                             "pv_int8"))
+def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
+                         o_inv: jax.Array, heads: int, *, causal: bool = False,
+                         kv_len: int | None = None, interpret: bool = False,
+                         precision: str = "default",
+                         pv_int8: bool = False) -> jax.Array:
+    """Integer-matmul static-W8A8 attention: ``[B, S, 3D]`` int8 qkv (q/k
+    quantized per-head-uniform) -> ``[B, S, D]`` int8.
+
+    ``deq: [1, 3D]`` dequant scales (head-uniform over q/k, per-channel v);
+    ``qk_scale: [1, H]`` combined per-head logit scale s_q·s_k·dh^-0.5;
+    ``o_inv: [1, D]`` the out-projection site's static quantize scales.
+    Forward-only (the quantized tier serves frozen-backbone inference)."""
+    b, s, d3 = qkv_q.shape
+    d_model = d3 // 3
+    dh = d_model // heads
+    kernel = functools.partial(
+        _mha_packed_q3i_kernel, heads=heads, dh=dh, causal=causal,
+        kv_len=kv_len, precision=jax.lax.Precision(precision),
+        pv_int8=pv_int8)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, d3), lambda i: (i, 0, 0)),
+                  pl.BlockSpec((1, d3), lambda i: (0, 0)),
+                  pl.BlockSpec((1, heads), lambda i: (0, 0)),
+                  pl.BlockSpec((1, d_model), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((1, s, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d_model), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * s * dh,
+            bytes_accessed=4 * b * s * d3,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+      qk_scale.reshape(1, heads).astype(jnp.float32),
+      o_inv.reshape(1, d_model).astype(jnp.float32))
+
+
 def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
                        bout_ref, o_ref, *, heads: int, dh: int, scale: float,
                        causal: bool, precision):
