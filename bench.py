@@ -110,15 +110,18 @@ def main() -> None:
         calib_imgs = preprocess_batch(xs[0], cfg.vision.image_size)
         calib = jax.jit(lambda p, im: calibrate_vision_tower(
             p, im, cfg, attn_impl="auto"))(params, calib_imgs)
-        qv = quantize_vision_tower_static(params, calib)
+        qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
 
         def enc_int8(q, x_u8):
             x = preprocess_batch(x_u8, cfg.vision.image_size)
+            # static3d_qi (round 4): integer QK^T attention (per-head q/k
+            # scales) + fused one-pass LN->quantize producers — 5576 img/s vs
+            # static3d_qa's 4973 (docs/BENCH.md)
             return encode_image_int8(q, x, cfg, attn_impl="auto",
-                                     gemm_impl="static3d_qa")
+                                     gemm_impl="static3d_qi")
 
         ips_q = bench_scanned(enc_int8, qv, xs, batch_size)
-        _log(f"int8 static3d_qa tower: {ips_q:.0f} img/s (cosine >= 0.999 vs "
+        _log(f"int8 static3d_qi tower: {ips_q:.0f} img/s (cosine >= 0.999 vs "
              "bf16, tests/test_int8.py + scripts/int8_validate.py)")
         ips = max(ips, ips_q)
     except Exception as e:  # pragma: no cover — int8 path must never kill the bench

@@ -195,7 +195,7 @@ def _block_forward(p: Params, x: jax.Array, heads: int, *, causal: bool, kv_len,
         # mesh's model axis via shard_map (team_tpu.ops.mha_short.set_tp_mesh)
         from team_tpu.ops.mha_short import fused_mha_packed_tp
 
-        o = fused_mha_packed_tp(qkv, heads, causal=causal)
+        o = fused_mha_packed_tp(qkv, heads, causal=causal, kv_len=kv_len)
     elif impl == "mha_packed":
         # transpose-free path: the kernel consumes the packed qkv projection
         # directly — no head-split transposes, no S-padding copies
@@ -256,10 +256,18 @@ def _maybe_pad_seq(x: jax.Array, attn_impl: str, seq_pad: bool | None,
     copies XLA already avoids); only attention impls that honor kv_len
     masking may pad."""
     s = x.shape[1]
+    _kv_len_honoring = ("auto", "mha_packed", "mha_packed_tp", "xla", "flash")
     if seq_pad is None:
         seq_pad = (auto_default
                    and jax.default_backend() in ("tpu", "axon")
                    and attn_impl in ("auto", "mha_packed", "xla", "flash"))
+    elif seq_pad and attn_impl not in _kv_len_honoring:
+        # an impl that ignores kv_len would ATTEND TO the zero-pad keys and
+        # corrupt real-row outputs (ADVICE r3: the whitelist only guarded the
+        # auto path) — refuse rather than silently mis-compute
+        raise ValueError(
+            f"seq_pad=True requires a kv_len-honoring attention impl "
+            f"{_kv_len_honoring}, got {attn_impl!r}")
     if not seq_pad or s % 16 == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, (-s) % 16), (0, 0)))

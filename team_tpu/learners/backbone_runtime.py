@@ -86,17 +86,24 @@ class BackboneRuntime:
         # reference's external CUDA encoder tier (utils/inc_net.py:19-32).
         self.encoder_quant = cfg.get("encoder_quant", "bf16")
         self._qvision = None
+        self._qvision_pending = None
+        self._calib_jit = None
         from team_tpu.ops.preprocess import preprocess_batch as _pp
 
         self._preprocess = jax.jit(
             lambda u8: _pp(u8, self.clip_cfg.vision.image_size))
+
+        # production int8 GEMM tier: static3d_qi (round 4 — integer QK^T
+        # attention + fused one-pass LN, 5576 img/s vs static3d_qa's 4973;
+        # docs/BENCH.md); override via cfg extras int8_gemm_impl
+        self._int8_impl = cfg.get("int8_gemm_impl", "static3d_qi")
 
         def _encode_int8(qv, x):
             from team_tpu.backbone.quant import encode_image_int8
 
             return encode_image_int8(qv, x, self.clip_cfg,
                                      attn_impl=self.attn_impl,
-                                     gemm_impl="static3d_qa")
+                                     gemm_impl=self._int8_impl)
 
         self._encode_int8 = jax.jit(_encode_int8)
 
@@ -108,48 +115,91 @@ class BackboneRuntime:
 
             return encode_image_int8(qv, x, self.clip_cfg,
                                      attn_impl=self.attn_impl,
-                                     gemm_impl="static3d_qa")
+                                     gemm_impl=self._int8_impl)
 
         self._encode_int8_u8 = jax.jit(_encode_int8_u8)
 
-    def _calibrate_int8(self, images: jnp.ndarray) -> None:
-        from team_tpu.backbone.quant import (calibrate_vision_tower,
-                                             quantize_vision_tower_static)
+    def _calib_forward(self, x: jnp.ndarray):
+        """Calibration forward == the bf16 tower (stats + features in one
+        graph); also serves as the bf16 encode while the gate is pending —
+        no separate bf16 encode graph is ever built (each unique tower graph
+        costs minutes of per-run warm-start on the axon tunnel)."""
+        from team_tpu.backbone.quant import calibrate_vision_tower
+
+        if self._calib_jit is None:
+            self._calib_jit = jax.jit(lambda p, im: calibrate_vision_tower(
+                p, im, self.clip_cfg, attn_impl=self.attn_impl,
+                return_features=True))
+        return self._calib_jit(self.params, x)
+
+    def _calibrate_int8(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Calibrate the static-W8A8 tower on this batch and return the
+        batch's bf16 features. The cosine gate is DEFERRED to the next encode
+        call so it runs on held-out data (ADVICE r3 medium: gating on the
+        calibration batch is optimistic — the scales were fit to exactly
+        those activations, so calibration-distribution mismatch could never
+        be detected)."""
+        from team_tpu.backbone.quant import quantize_vision_tower_static
 
         is_u8 = images.dtype == jnp.uint8
         x = self._preprocess(images) if is_u8 else images
-        # the calibration forward IS the bf16 tower: reuse its features as
-        # the gate reference instead of compiling a separate bf16 encode
-        # graph; gate the int8 side through the SAME variant production will
-        # use (u8 or float) so no extra graph is ever built — each unique
-        # tower graph costs minutes of per-run warm-start on the axon tunnel
-        calib, ref = jax.jit(lambda p, im: calibrate_vision_tower(
-            p, im, self.clip_cfg, attn_impl=self.attn_impl,
-            return_features=True))(self.params, x)
-        qv = quantize_vision_tower_static(self.params, calib)
+        calib, ref = self._calib_forward(x)
+        if jax.process_count() > 1:
+            # multi-host: every process must build the IDENTICAL quantized
+            # tower (ADVICE r3: per-host local calibration could diverge).
+            # amax stats combine exactly under elementwise max.
+            from jax.experimental import multihost_utils
+
+            calib = jax.tree_util.tree_map(
+                lambda a: jnp.max(multihost_utils.process_allgather(a), axis=0),
+                calib)
+        self._qvision_pending = quantize_vision_tower_static(
+            self.params, calib, heads=self.clip_cfg.vision.heads)
+        logging.info("int8_static calibrated; cosine gate pending on the "
+                     "next (held-out) batch")
+        return ref
+
+    def _gate_int8(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Held-out cosine gate: compare the candidate quantized tower vs the
+        bf16 tower on THIS (non-calibration) batch; commit or fall back."""
+        is_u8 = images.dtype == jnp.uint8
+        x = self._preprocess(images) if is_u8 else images
+        _, ref = self._calib_forward(x)
+        qv = self._qvision_pending
+        feats = (self._encode_int8_u8(qv, images) if is_u8
+                 else self._encode_int8(qv, images))
         a = np.asarray(ref, np.float64)
-        b = np.asarray(self._encode_int8_u8(qv, images) if is_u8
-                       else self._encode_int8(qv, images), np.float64)
+        b = np.asarray(feats, np.float64)
         cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
                                  * np.linalg.norm(b, axis=-1) + 1e-30)
-        if cos.min() >= 0.999:
+        cos_min = float(cos.min())
+        if jax.process_count() > 1:
+            # the gate decision must be identical on every host
+            from jax.experimental import multihost_utils
+
+            cos_min = float(np.min(multihost_utils.process_allgather(
+                np.asarray([cos_min]))))
+        self._qvision_pending = None
+        if cos_min >= 0.999:
             self._qvision = qv
-            logging.info("int8_static encoder enabled (calibration cosine "
-                         "min %.6f)", cos.min())
-        else:  # pragma: no cover — safety valve
-            self.encoder_quant = "bf16"
-            logging.warning("int8_static cosine gate FAILED (min %.6f) — "
-                            "falling back to bf16 encode", cos.min())
+            logging.info("int8_static encoder enabled (held-out cosine "
+                         "min %.6f)", cos_min)
+            return feats
+        self.encoder_quant = "bf16"  # pragma: no cover — safety valve
+        logging.warning("int8_static held-out cosine gate FAILED (min %.6f) "
+                        "— falling back to bf16 encode", cos_min)
+        return ref
 
     # -- frozen-backbone encodes ---------------------------------------
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         if self.encoder_quant == "int8_static":
-            if self._qvision is None:
-                self._calibrate_int8(images)
-            if self.encoder_quant == "int8_static":  # gate may fall back
+            if self._qvision is not None:
                 if images.dtype == jnp.uint8:
                     return self._encode_int8_u8(self._qvision, images)
                 return self._encode_int8(self._qvision, images)
+            if self._qvision_pending is None:
+                return self._calibrate_int8(images)
+            return self._gate_int8(images)
         if images.dtype == jnp.uint8:
             return self._encode_image_u8(self.params, images)
         return self._encode_image(self.params, images)

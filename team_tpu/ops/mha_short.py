@@ -849,7 +849,8 @@ def set_tp_mesh(mesh, model_axis: str = "model", data_axis: str = "data"):
 
 def fused_mha_packed_tp(qkv: jax.Array, heads: int, *, causal: bool = False,
                         interpret: bool = False,
-                        precision: str | None = None) -> jax.Array:
+                        precision: str | None = None,
+                        kv_len: int | None = None) -> jax.Array:
     """Tensor-parallel :func:`fused_mha_packed`: heads split over the model
     axis of the registered mesh via ``shard_map`` (round-2 verdict weak #4 —
     the production Pallas kernel under the 2-D TP mesh).
@@ -861,16 +862,17 @@ def fused_mha_packed_tp(qkv: jax.Array, heads: int, *, causal: bool = False,
     exactly the row-parallel layout the TP out-projection consumes. Falls back
     to the single-device kernel when no mesh is registered or shapes don't
     divide."""
+    b, s, d3 = qkv.shape
+    kv = kv_len if (kv_len is not None and kv_len < s) else None
     if _TP_MESH is None:
         return fused_mha_packed(qkv, heads, causal=causal, interpret=interpret,
-                                precision=precision)
+                                precision=precision, kv_len=kv)
     mesh, model_axis, data_axis = _TP_MESH
     nm = int(mesh.shape[model_axis])
-    b, s, d3 = qkv.shape
     d = d3 // 3
     if nm == 1 or heads % nm or d % nm:
         return fused_mha_packed(qkv, heads, causal=causal, interpret=interpret,
-                                precision=precision)
+                                precision=precision, kv_len=kv)
     dm = d // nm
     shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
     if shard_map is None:  # pragma: no cover - older jax
@@ -886,7 +888,7 @@ def fused_mha_packed_tp(qkv: jax.Array, heads: int, *, causal: bool = False,
         packed = jnp.concatenate(segs, axis=-1)  # [b_local, s, 3*dm]
         return fused_mha_packed(packed, heads // nm, causal=causal,
                                 interpret=interpret or _FORCE_INTERPRET,
-                                precision=precision)
+                                precision=precision, kv_len=kv)
 
     return shard_map(
         local, mesh=mesh,
@@ -896,3 +898,70 @@ def fused_mha_packed_tp(qkv: jax.Array, heads: int, *, causal: bool = False,
         # spec above states the sharding explicitly
         check_vma=False,
     )(qkv)
+
+
+def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
+                            qk_scale: jax.Array, o_inv: jax.Array, heads: int,
+                            *, causal: bool = False, kv_len: int | None = None,
+                            interpret: bool = False,
+                            pv_int8: bool = False) -> jax.Array:
+    """Tensor-parallel :func:`fused_mha_packed_q3i` (round-4 verdict item 7:
+    the int8 tier must compose with the 2-D data×model mesh).
+
+    Heads split over the registered mesh's model axis via ``shard_map``; each
+    rank slices its head group out of the packed int8 qkv AND the matching
+    per-head scale vectors (deq q/k/v segments, [1, H] logit scales, o_inv
+    columns), runs the integer-QKᵀ kernel on ``heads/nm`` heads, and writes
+    its ``D/nm`` int8 output slice (``P(data, None, model)`` — the layout the
+    TP out-projection consumes). Falls back to the single-device kernel when
+    no mesh is registered or shapes don't divide."""
+    b, s, d3 = qkv_q.shape
+    d = d3 // 3
+    kv = kv_len if (kv_len is not None and kv_len < s) else None
+    if _TP_MESH is None:
+        return fused_mha_packed_q3i(qkv_q, deq, qk_scale, o_inv, heads,
+                                    causal=causal, kv_len=kv,
+                                    interpret=interpret, pv_int8=pv_int8)
+    mesh, model_axis, data_axis = _TP_MESH
+    nm = int(mesh.shape[model_axis])
+    if nm == 1 or heads % nm or d % nm:
+        return fused_mha_packed_q3i(qkv_q, deq, qk_scale, o_inv, heads,
+                                    causal=causal, kv_len=kv,
+                                    interpret=interpret, pv_int8=pv_int8)
+    dm = d // nm
+    hm = heads // nm
+    shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+    if shard_map is None:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    deq2 = deq.reshape(1, d3)
+    qks2 = qk_scale.reshape(1, heads)
+    oinv2 = o_inv.reshape(1, d)
+
+    def local(qkv_l, deq_l, qks_l, oinv_l):
+        r = jax.lax.axis_index(model_axis)
+        segs = [
+            jax.lax.dynamic_slice_in_dim(qkv_l, seg * d + r * dm, dm, axis=2)
+            for seg in range(3)
+        ]
+        packed = jnp.concatenate(segs, axis=-1)       # [b_local, s, 3*dm] int8
+        dsegs = [
+            jax.lax.dynamic_slice_in_dim(deq_l, seg * d + r * dm, dm, axis=1)
+            for seg in range(3)
+        ]
+        deq_p = jnp.concatenate(dsegs, axis=-1)       # [1, 3*dm]
+        qks_p = jax.lax.dynamic_slice_in_dim(qks_l, r * hm, hm, axis=1)
+        oinv_p = jax.lax.dynamic_slice_in_dim(oinv_l, r * dm, dm, axis=1)
+        return fused_mha_packed_q3i(packed, deq_p, qks_p, oinv_p, hm,
+                                    causal=causal, kv_len=kv,
+                                    interpret=interpret or _FORCE_INTERPRET,
+                                    pv_int8=pv_int8)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis, None, None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=P(data_axis, None, model_axis),
+        check_vma=False,
+    )(qkv_q, deq2, qks2, oinv2)

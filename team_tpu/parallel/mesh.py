@@ -200,12 +200,23 @@ def shard_clip_params(params, mesh: Mesh, model_axis: str = "model"):
             return P(model_axis, None)       # split input dim (row-parallel)
         return P()
 
+    def place(x, spec):
+        sh = NamedSharding(mesh, spec)
+        if jax.process_count() > 1:
+            # multi-host: device_put cannot target non-addressable devices;
+            # every process holds the identical full array (deterministic
+            # init), so each fills its addressable shards from it
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sh,
+                                                lambda idx, x=x: x[idx])
+        return jax.device_put(x, sh)
+
     def walk(tree, path=""):
         if isinstance(tree, dict):
             return {k: walk(v, path + "/" + k) for k, v in tree.items()}
         if isinstance(tree, list):
             return [walk(v, path) for v in tree]
-        return jax.device_put(tree, NamedSharding(mesh, spec_for(path, tree)))
+        return place(tree, spec_for(path, tree))
 
     return walk(params)
 

@@ -34,6 +34,45 @@ from team_tpu.data.manager import DataManager  # noqa: E402
 from team_tpu.learners.factory import get_model  # noqa: E402
 
 
+def tp_check(total: int):
+    """Multi-host × MODEL-axis case (round-4 verdict item 7): a 2-D
+    ("data","model") mesh spanning both processes, CLIP tower weights
+    tensor-parallel (shard_clip_params) and attention through the production
+    packed Pallas kernel under shard_map (mha_packed_tp). Returns a scalar
+    checksum every process can compare against the single-process run."""
+    if total % 2:
+        return None
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
+    from team_tpu.ops import mha_short
+    from team_tpu.parallel.mesh import shard_clip_params
+
+    devices = np.asarray(jax.devices()).reshape(total // 2, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    clip_cfg = CLIPConfig.tiny()
+    params = jax.tree_util.tree_map(
+        np.asarray, init_clip_params(jax.random.PRNGKey(0), clip_cfg))
+    params = shard_clip_params(params, mesh)
+    rng = np.random.default_rng(0)
+    sz = clip_cfg.vision.image_size
+    imgs_np = rng.standard_normal((total * 2, sz, sz, 3)).astype(np.float32)
+    sh = NamedSharding(mesh, P("data"))
+    imgs = jax.make_array_from_callback(imgs_np.shape, sh,
+                                        lambda idx: imgs_np[idx])
+    mha_short.set_tp_mesh(mesh)
+    mha_short._FORCE_INTERPRET = True
+    try:
+        with mesh:
+            f = jax.jit(lambda p, im: jnp.sum(jnp.abs(
+                encode_image(p, im, clip_cfg, attn_impl="mha_packed_tp"))))
+            return float(f(params, imgs))
+    finally:
+        mha_short.set_tp_mesh(None)
+        mha_short._FORCE_INTERPRET = False
+
+
 def main():
     total = jax.device_count()
     cfg = Config(
@@ -63,10 +102,11 @@ def main():
     tsum = float(sum(np.abs(np.asarray(x)).sum()
                      for x in jax.tree_util.tree_leaves(model.trainable)))
     dist = np.asarray(model.state_distance.get_distance_matrix()).tolist()
+    tp_sum = tp_check(total)
     with open(out_path, "w") as f:
         json.dump({"pid": pid, "devices": total, "curves": curves,
                    "stats": stats, "tsum": tsum, "dist": dist,
-                   "cache_rows": encode_counts}, f)
+                   "cache_rows": encode_counts, "tp_sum": tp_sum}, f)
     print(f"worker {pid}: done, curves={curves}", flush=True)
 
 

@@ -376,20 +376,29 @@ def test_backbone_runtime_int8_static_encoder():
     imgs = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
     held = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
 
-    fq = np.asarray(rt_q.encode_image(imgs), np.float64)   # calibrates here
-    assert rt_q.encoder_quant == "int8_static" and rt_q._qvision is not None
+    # first batch calibrates (returns the bf16 features from the calibration
+    # forward); the gate is DEFERRED so it runs on held-out data (ADVICE r3)
+    fq = np.asarray(rt_q.encode_image(imgs), np.float64)
+    assert rt_q._qvision is None and rt_q._qvision_pending is not None
     fb = np.asarray(rt_b.encode_image(imgs), np.float64)
     cos = (fq * fb).sum(-1) / (np.linalg.norm(fq, axis=-1)
                                * np.linalg.norm(fb, axis=-1))
     assert cos.min() >= 0.999, cos
-    # held-out batch reuses the calibration (no re-calibration)
-    qv = rt_q._qvision
+    # second (held-out) batch runs the gate and commits the quantized tower
     fq2 = np.asarray(rt_q.encode_image(held), np.float64)
-    assert rt_q._qvision is qv
+    assert rt_q.encoder_quant == "int8_static" and rt_q._qvision is not None
+    assert rt_q._qvision_pending is None
     fb2 = np.asarray(rt_b.encode_image(held), np.float64)
     cos2 = (fq2 * fb2).sum(-1) / (np.linalg.norm(fq2, axis=-1)
                                   * np.linalg.norm(fb2, axis=-1))
     assert cos2.min() >= 0.999, cos2
+    # third batch reuses the committed tower (no re-calibration)
+    qv = rt_q._qvision
+    fq3 = np.asarray(rt_q.encode_image(imgs), np.float64)
+    assert rt_q._qvision is qv
+    cos3 = (fq3 * fb).sum(-1) / (np.linalg.norm(fq3, axis=-1)
+                                 * np.linalg.norm(fb, axis=-1))
+    assert cos3.min() >= 0.999, cos3
     # uint8 ingest path also routes through the quantized tower
     u8 = jnp.asarray(rng.integers(0, 256, (4, sz, sz, 3), dtype=np.uint8))
     f_u8 = rt_q.encode_image(u8)

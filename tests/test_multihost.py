@@ -89,3 +89,15 @@ def test_multihost_feature_cache_active(runs):
     s, h0, h1 = runs
     assert h0["cache_rows"] == s["cache_rows"]
     assert h0["cache_rows"][-1] > 0
+
+
+def test_two_process_tensor_parallel_encode(runs):
+    """Round-4 verdict item 7: 2-process × MODEL-axis case. Both hosts run the
+    CLIP tower tensor-parallel over a ("data","model") mesh spanning the two
+    processes — weights split by shard_clip_params, attention through the
+    packed Pallas kernel under shard_map — and must produce the same encode
+    checksum as the single-process 8-device run."""
+    s, h0, h1 = runs
+    assert s["tp_sum"] is not None and h0["tp_sum"] is not None
+    assert abs(h0["tp_sum"] - h1["tp_sum"]) <= 1e-4 * max(1.0, abs(h0["tp_sum"]))
+    assert abs(h0["tp_sum"] - s["tp_sum"]) <= 1e-3 * max(1.0, abs(s["tp_sum"]))
