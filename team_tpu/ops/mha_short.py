@@ -478,6 +478,11 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
+            # v's per-channel dequant scales output COLUMNS of the PV
+            # contraction, so they commute with the dot and fold into the
+            # output quantize scale — P multiplies raw int8 v (cast bf16),
+            # saving a [S, dh] dequant multiply per head (exact math)
+            pv_scale = deq[vl:vl + dh] * oinv[ql:ql + dh]
             if pv_int8:
                 p8 = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
                 v8 = qkv_ref[g][:, vl:vl + dh]
@@ -485,16 +490,14 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                     p8, v8, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32, precision=precision,
                 )
-                pv_scale = (deq[vl:vl + dh] * oinv[ql:ql + dh]) * (1.0 / 127.0)
-                out = out_i.astype(jnp.float32) * pv_scale[None, :]
+                out = out_i.astype(jnp.float32) * (pv_scale * (1.0 / 127.0))[None, :]
             else:
-                v = (qkv_ref[g][:, vl:vl + dh].astype(jnp.bfloat16)
-                     * deq[vl:vl + dh].astype(jnp.bfloat16)[None, :])
+                v = qkv_ref[g][:, vl:vl + dh].astype(jnp.bfloat16)
                 out = jax.lax.dot_general(
                     p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32, precision=precision,
                 )
-                out = out * oinv[ql:ql + dh][None, :]
+                out = out * pv_scale[None, :]
             o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
                                                -127, 127).astype(jnp.int8)
 
