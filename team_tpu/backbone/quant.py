@@ -555,7 +555,9 @@ def _qblock_forward_static3d_qi(qb: Dict[str, Any], x: jax.Array, heads: int,
                                  qb["out"]["inv_a"], heads, causal=causal,
                                  kv_len=kv_len if (kv_len is not None
                                                    and kv_len < s) else None,
-                                 interpret=interpret, pv_int8=pv_int8)
+                                 interpret=interpret, pv_int8=pv_int8,
+                                 defer_norm=_os.environ.get(
+                                     "TEAM_QI_DEFER", "0") == "1")
     x = x + _static_linear3(oq, qb["out"])
     g = _static_linear3(_ln_quant3(x, qb["ln_2"], qb["fc"]["inv_a"]),
                         qb["fc"], activation="gelu",

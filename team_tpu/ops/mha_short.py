@@ -436,7 +436,7 @@ def fused_mha_packed_q3(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
 
 def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                            heads: int, dh: int, causal: bool, kv_len,
-                           precision, pv_int8: bool):
+                           precision, pv_int8: bool, defer_norm: bool = False):
     """Fully-integer QKᵀ attention (round-4 verdict item 1).
 
     Requires the q/k segments of the int8 qkv tensor to be quantized with
@@ -477,7 +477,9 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                 logits = jnp.where(mask, logits, NEG_INF)
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            if not defer_norm:
+                p = p / denom
             # v's per-channel dequant scales output COLUMNS of the PV
             # contraction, so they commute with the dot and fold into the
             # output quantize scale — P multiplies raw int8 v (cast bf16),
@@ -498,40 +500,48 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                     preferred_element_type=jnp.float32, precision=precision,
                 )
                 out = out * pv_scale[None, :]
+            if defer_norm:
+                # divide the [S, dh] output instead of the [S, S] matrix
+                out = out / denom
             o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
                                                -127, 127).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "causal", "kv_len",
                                              "interpret", "precision",
-                                             "pv_int8"))
+                                             "pv_int8", "defer_norm"))
 def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
                          o_inv: jax.Array, heads: int, *, causal: bool = False,
                          kv_len: int | None = None, interpret: bool = False,
                          precision: str = "default",
-                         pv_int8: bool = False) -> jax.Array:
+                         pv_int8: bool = False,
+                         defer_norm: bool = False) -> jax.Array:
     """Integer-matmul static-W8A8 attention: ``[B, S, 3D]`` int8 qkv (q/k
     quantized per-head-uniform) -> ``[B, S, D]`` int8.
 
     ``deq: [1, 3D]`` dequant scales (head-uniform over q/k, per-channel v);
     ``qk_scale: [1, H]`` combined per-head logit scale s_q·s_k·dh^-0.5;
     ``o_inv: [1, D]`` the out-projection site's static quantize scales.
-    Forward-only (the quantized tier serves frozen-backbone inference)."""
+    ``defer_norm`` divides the [S, dh] output by the softmax denominator
+    instead of the [S, S] matrix (probe knob); ``TEAM_MHA_GROUP`` packs that
+    many samples per program. Forward-only (the quantized tier serves
+    frozen-backbone inference)."""
     b, s, d3 = qkv_q.shape
     d_model = d3 // 3
     dh = d_model // heads
+    g = _PACKED_GROUP if b % _PACKED_GROUP == 0 else 1
     kernel = functools.partial(
         _mha_packed_q3i_kernel, heads=heads, dh=dh, causal=causal,
         kv_len=kv_len, precision=jax.lax.Precision(precision),
-        pv_int8=pv_int8)
+        pv_int8=pv_int8, defer_norm=defer_norm)
     return pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s, d3), lambda i: (i, 0, 0)),
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((g, s, d3), lambda i: (i, 0, 0)),
                   pl.BlockSpec((1, d3), lambda i: (0, 0)),
                   pl.BlockSpec((1, heads), lambda i: (0, 0)),
                   pl.BlockSpec((1, d_model), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((1, s, d_model), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((g, s, d_model), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, d_model), jnp.int8),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -907,7 +917,8 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
                             qk_scale: jax.Array, o_inv: jax.Array, heads: int,
                             *, causal: bool = False, kv_len: int | None = None,
                             interpret: bool = False,
-                            pv_int8: bool = False) -> jax.Array:
+                            pv_int8: bool = False,
+                            defer_norm: bool = False) -> jax.Array:
     """Tensor-parallel :func:`fused_mha_packed_q3i` (round-4 verdict item 7:
     the int8 tier must compose with the 2-D data×model mesh).
 
@@ -924,13 +935,15 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
     if _TP_MESH is None:
         return fused_mha_packed_q3i(qkv_q, deq, qk_scale, o_inv, heads,
                                     causal=causal, kv_len=kv,
-                                    interpret=interpret, pv_int8=pv_int8)
+                                    interpret=interpret, pv_int8=pv_int8,
+                                    defer_norm=defer_norm)
     mesh, model_axis, data_axis = _TP_MESH
     nm = int(mesh.shape[model_axis])
     if nm == 1 or heads % nm or d % nm:
         return fused_mha_packed_q3i(qkv_q, deq, qk_scale, o_inv, heads,
                                     causal=causal, kv_len=kv,
-                                    interpret=interpret, pv_int8=pv_int8)
+                                    interpret=interpret, pv_int8=pv_int8,
+                                    defer_norm=defer_norm)
     dm = d // nm
     hm = heads // nm
     shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
@@ -959,7 +972,7 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
         return fused_mha_packed_q3i(packed, deq_p, qks_p, oinv_p, hm,
                                     causal=causal, kv_len=kv,
                                     interpret=interpret or _FORCE_INTERPRET,
-                                    pv_int8=pv_int8)
+                                    pv_int8=pv_int8, defer_norm=defer_norm)
 
     return shard_map(
         local, mesh=mesh,
