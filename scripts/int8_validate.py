@@ -62,7 +62,8 @@ def main():
             rng_c.standard_normal((BATCH, 224, 224, 3)).astype(np.float32))
         calib = jax.jit(lambda p, im: calibrate_vision_tower(
             p, im, cfg, attn_impl="auto"))(params, calib_imgs)
-        qv = quantize_vision_tower_static(params, calib)
+        qv = quantize_vision_tower_static(params, calib,
+                                          heads=cfg.vision.heads)
     else:
         qv = jax.tree_util.tree_map(lambda x: x, quantize_vision_tower(params))
 

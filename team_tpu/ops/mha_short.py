@@ -237,6 +237,9 @@ import os as _os
 
 # samples per program (amortizes per-program DMA/overhead; tuning knob)
 _PACKED_GROUP = max(1, int(_os.environ.get("TEAM_MHA_GROUP", "1")))
+# q3i (integer-QK) kernel group — independent default (see fused_mha_packed_q3i)
+_QI_GROUP = max(1, int(_os.environ.get("TEAM_QI_GROUP",
+                                       _os.environ.get("TEAM_MHA_GROUP", "2"))))
 
 
 def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
@@ -529,7 +532,12 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
     b, s, d3 = qkv_q.shape
     d_model = d3 // 3
     dh = d_model // heads
-    g = _PACKED_GROUP if b % _PACKED_GROUP == 0 else 1
+    # 2 samples/program measured FASTER for THIS kernel (5743 vs 5576 img/s
+    # end-to-end, round 4) — the integer dots shrank per-sample work enough
+    # that per-program fixed costs dominate; the bf16 packed kernel still
+    # prefers group 1 (grouping lost there, round 3). Separate knob so the
+    # two kernels tune independently.
+    g = _QI_GROUP if b % _QI_GROUP == 0 else 1
     kernel = functools.partial(
         _mha_packed_q3i_kernel, heads=heads, dh=dh, causal=causal,
         kv_len=kv_len, precision=jax.lax.Precision(precision),

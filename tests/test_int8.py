@@ -373,7 +373,8 @@ def test_quantized_text_tower_cosine_gate(rng, gemm_impl):
     assert cos.min() >= 0.999, cos
 
 
-@pytest.mark.parametrize("gemm_impl", ["static", "static3d", "static3d_qa"])
+@pytest.mark.parametrize("gemm_impl", ["static", "static3d", "static3d_qa",
+                                       "static3d_qi"])
 def test_static_text_tower_prompt_set_gate(rng, gemm_impl):
     """Static-W8A8 TEXT tower in its documented PROMPT-SET domain (round-4
     verdict item 6): calibrated on the exact finite prompt set at margin 1.0
@@ -392,7 +393,8 @@ def test_static_text_tower_prompt_set_gate(rng, gemm_impl):
     prompts = [f"a photo of insect species {i}, stage {s}"
                for i in range(8) for s in ("larva", "pupa", "adult")]
     toks = jnp.asarray(tok(prompts))
-    qt = quantize_text_tower_for_prompts(params, toks, cfg, attn_impl="xla")
+    qt = quantize_text_tower_for_prompts(params, toks, cfg, attn_impl="xla",
+                                         heads=cfg.text.heads)
     ref = encode_text(params, toks, cfg, compute_dtype=jnp.bfloat16,
                       attn_impl="xla")
     got = encode_text_int8(qt, toks, cfg, attn_impl="xla",
