@@ -60,18 +60,27 @@ def main():
     ref = np.asarray(f_bf16(params, xs[1]))
 
     for v in which:
-        impl = IMPLS[v]
+        if v == "qiu8":
+            # uint8-native ingest: transpose on u8, normalize folded into the
+            # patch dot prologue (bit-identical, tested)
+            from team_tpu.backbone.quant import encode_image_int8_u8
 
-        def enc(q, x_u8, impl=impl):
-            x = preprocess_batch(x_u8, cfg.vision.image_size)
-            return encode_image_int8(q, x, cfg, attn_impl="auto",
-                                     gemm_impl=impl)
+            def enc(q, x_u8):
+                return encode_image_int8_u8(q, x_u8, cfg, attn_impl="auto",
+                                            gemm_impl="static3d_qi")
+        else:
+            impl = IMPLS[v]
+
+            def enc(q, x_u8, impl=impl):
+                x = preprocess_batch(x_u8, cfg.vision.image_size)
+                return encode_image_int8(q, x, cfg, attn_impl="auto",
+                                         gemm_impl=impl)
 
         got = np.asarray(jax.jit(enc)(qv, xs[1]))
         cos = (ref * got).sum(-1) / (np.linalg.norm(ref, axis=-1)
                                      * np.linalg.norm(got, axis=-1))
         ips = bench_scanned(enc, qv, xs, batch)
-        print(f"B={batch} {impl}: {ips:.0f} img/s  "
+        print(f"B={batch} {v}: {ips:.0f} img/s  "
               f"cos(held-out) min={cos.min():.6f} mean={cos.mean():.6f}",
               flush=True)
 

@@ -745,6 +745,47 @@ def encode_text_int8(
     return (x @ qtext["proj"].astype(compute_dtype)).astype(jnp.float32)
 
 
+def encode_image_int8_u8(
+    qvision: Dict[str, Any],
+    images_u8: jax.Array,
+    cfg: CLIPConfig,
+    *,
+    attn_impl: str = "auto",
+    gemm_impl: str = "xla",
+    interpret: bool = False,
+    seq_pad: bool | None = None,
+) -> jax.Array:
+    """uint8-native ingest for the quantized tower (round-4 audit finding:
+    ~2 ms/batch of the profile is ingest). The patch-reorder transpose runs
+    on the RAW uint8 tensor (38.5 MB moved instead of the 154 MB f32 copy),
+    and /255 + CLIP-normalize fold into the patch dot's elementwise prologue
+    as a per-column scale/bias vector (normalize is per-channel, so it
+    commutes with the spatial reorder). Images must already be at the model
+    resolution (the steady-state loader case — ``preprocess_batch`` path
+    stays for arbitrary sizes). Numerically identical f32 math."""
+    from team_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+
+    assert images_u8.dtype == jnp.uint8
+    v = cfg.vision
+    assert images_u8.shape[1:3] == (v.image_size, v.image_size), (
+        "u8-native ingest needs pre-sized images; use preprocess_batch + "
+        "encode_image_int8 for arbitrary sizes")
+    px_u8 = patch_pixels(images_u8, cfg, compute_dtype=jnp.uint8)
+    ps2 = v.patch_size * v.patch_size
+    mean = jnp.repeat(jnp.asarray(CLIP_MEAN, jnp.float32), ps2)   # [3*ps*ps]
+    std = jnp.repeat(jnp.asarray(CLIP_STD, jnp.float32), ps2)
+    scale = (1.0 / (255.0 * std)).astype(jnp.float32)
+    bias = (-mean / std).astype(jnp.float32)
+    # scale/bias in f32 then cast: identical math to preprocess_batch →
+    # patch_pixels(bf16); the f32 intermediate lives in registers inside the
+    # dot-prologue fusion, so HBM still only sees the uint8 read
+    px = (px_u8.astype(jnp.float32) * scale + bias).astype(jnp.bfloat16)
+    tokens = px @ qvision["patch_w"].astype(jnp.bfloat16)
+    return _encode_tokens_int8(qvision, tokens, cfg, attn_impl=attn_impl,
+                               gemm_impl=gemm_impl, interpret=interpret,
+                               seq_pad=seq_pad)
+
+
 def encode_image_int8(
     qvision: Dict[str, Any],
     images: jax.Array,
@@ -761,6 +802,23 @@ def encode_image_int8(
     int8, everything else bf16/f32. ``gemm_impl``: ``"xla"`` (default — XLA's
     int8 dot_general engine, the round-3 shoot-out winner) or ``"pallas"``
     (the hand-tiled Mosaic kernels with fused quantize producers)."""
+    # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
+    # normalized with per-channel CLIP stats — row quantization would be fine,
+    # but this keeps the first-layer numerics bit-comparable)
+    # patch embedding stays bf16: an int8 static patch dot was built and
+    # measured 4899 vs 4964 img/s end-to-end (the pixel quantize breaks the
+    # preprocess->patch-dot fusion) — docs/BENCH.md round 3
+    fake = {"vision": {"patch_w": qvision["patch_w"]}}
+    tokens = embed_patches(fake, images, cfg, compute_dtype=jnp.bfloat16)
+    return _encode_tokens_int8(qvision, tokens, cfg, attn_impl=attn_impl,
+                               gemm_impl=gemm_impl, interpret=interpret,
+                               seq_pad=seq_pad)
+
+
+def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
+                        interpret, seq_pad):
+    """Quantized tower body over patch tokens (shared by the f32 and the
+    uint8-native ingest paths)."""
     v = cfg.vision
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
              "static": _qblock_forward_static,
@@ -773,14 +831,6 @@ def encode_image_int8(
                                                 pv_int8=True),
              "pallas": _qblock_forward}[gemm_impl]
     compute_dtype = jnp.bfloat16
-    # patch embedding stays bf16 (0.5% of encode FLOPs; input pixels are
-    # normalized with per-channel CLIP stats — row quantization would be fine,
-    # but this keeps the first-layer numerics bit-comparable)
-    # patch embedding stays bf16: an int8 static patch dot was built and
-    # measured 4899 vs 4964 img/s end-to-end (the pixel quantize breaks the
-    # preprocess->patch-dot fusion) — docs/BENCH.md round 3
-    fake = {"vision": {"patch_w": qvision["patch_w"]}}
-    tokens = embed_patches(fake, images, cfg, compute_dtype=compute_dtype)
     b = tokens.shape[0]
     cls = jnp.broadcast_to(qvision["cls"].astype(compute_dtype), (b, 1, v.width))
     x = jnp.concatenate([cls, tokens], axis=1)
