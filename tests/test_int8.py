@@ -436,3 +436,29 @@ def test_patch_pixels_matches_embed(rng):
     want = embed_patches(params, imgs, cfg)
     np.testing.assert_allclose(np.asarray(px @ params["vision"]["patch_w"]),
                                np.asarray(want), rtol=1e-6)
+
+
+def test_u8_native_ingest_bit_identical(rng):
+    """encode_image_int8_u8 (uint8 patch-reorder + normalize folded into the
+    patch-dot prologue) is BIT-identical to preprocess_batch +
+    encode_image_int8 at model resolution (round-4 ingest optimization)."""
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8,
+                                         encode_image_int8_u8,
+                                         quantize_vision_tower_static)
+    from team_tpu.ops.preprocess import preprocess_batch
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    u8 = jnp.asarray(rng.integers(0, 256, (4, sz, sz, 3), dtype=np.uint8))
+    imgs = preprocess_batch(u8, sz)
+    calib = calibrate_vision_tower(params, imgs, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
+    a = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                     gemm_impl="static3d_qi", interpret=True))
+    b = np.asarray(encode_image_int8_u8(qv, u8, cfg, attn_impl="xla",
+                                        gemm_impl="static3d_qi",
+                                        interpret=True))
+    np.testing.assert_array_equal(a, b)
