@@ -843,3 +843,33 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
                   interpret=interpret)
     x = _layer_norm(qvision["ln_post"], x[:, 0])
     return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# quantized-tower persistence: production runs pay calibration (and its graph
+# warm-start, minutes on the axon tunnel) ONCE; later runs load the validated
+# payload and start encoding int8 from the first batch.
+# ---------------------------------------------------------------------------
+
+
+def save_quantized_tower(path: str, qvision: Dict[str, Any]) -> None:
+    """Persist a quantized tower payload (weights + folded static scales).
+    Only save payloads that passed their cosine gate — the loader trusts it."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.tree_util.tree_map(
+        lambda x: jax.device_get(x), qvision), force=True)
+
+
+def load_quantized_tower(path: str) -> Dict[str, Any]:
+    """Load a payload saved by :func:`save_quantized_tower` (device-put lazily
+    by the first encode)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))

@@ -184,15 +184,41 @@ class BackboneRuntime:
             self._qvision = qv
             logging.info("int8_static encoder enabled (held-out cosine "
                          "min %.6f)", cos_min)
+            cache = self.cfg.get("int8_cache_dir")
+            if cache and jax.process_index() == 0:
+                from team_tpu.backbone.quant import save_quantized_tower
+
+                save_quantized_tower(cache, qv)
+                logging.info("validated quantized tower saved to %s", cache)
             return feats
         self.encoder_quant = "bf16"  # pragma: no cover — safety valve
         logging.warning("int8_static held-out cosine gate FAILED (min %.6f) "
                         "— falling back to bf16 encode", cos_min)
         return ref
 
+    def _try_load_int8_cache(self) -> bool:
+        """Load a previously VALIDATED quantized tower (skips calibration AND
+        its per-run graph warm-start — minutes on the axon tunnel). Payloads
+        are only written after passing the held-out cosine gate."""
+        cache = self.cfg.get("int8_cache_dir")
+        if not cache or not os.path.isdir(cache):
+            return False
+        try:
+            from team_tpu.backbone.quant import load_quantized_tower
+
+            self._qvision = load_quantized_tower(cache)
+            logging.info("loaded validated quantized tower from %s "
+                         "(calibration skipped)", cache)
+            return True
+        except Exception as e:  # pragma: no cover — fall back to calibration
+            logging.warning("int8 cache load failed (%s); recalibrating", e)
+            return False
+
     # -- frozen-backbone encodes ---------------------------------------
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
         if self.encoder_quant == "int8_static":
+            if self._qvision is None and self._qvision_pending is None:
+                self._try_load_int8_cache()
             if self._qvision is not None:
                 if images.dtype == jnp.uint8:
                     return self._encode_int8_u8(self._qvision, images)

@@ -403,3 +403,33 @@ def test_backbone_runtime_int8_static_encoder():
     u8 = jnp.asarray(rng.integers(0, 256, (4, sz, sz, 3), dtype=np.uint8))
     f_u8 = rt_q.encode_image(u8)
     assert f_u8.shape == (4, rt_q.out_dim)
+
+
+def test_int8_tower_cache_skips_calibration(tmp_path):
+    """int8_cache_dir: a run that passes the held-out gate persists the
+    validated quantized tower; a later runtime loads it and encodes int8 from
+    the FIRST batch (no calibration, no gate — round-4 production feature:
+    calibration graph warm-start costs minutes per run on the axon tunnel)."""
+    import numpy as np
+
+    from team_tpu.config import Config
+    from team_tpu.learners.backbone_runtime import BackboneRuntime
+
+    rng = np.random.default_rng(0)
+    cache = str(tmp_path / "qtower")
+    cfg = Config(encoder_quant="int8_static", compute_dtype="bfloat16",
+                 extras={"tiny_backbone": True, "int8_cache_dir": cache})
+    rt = BackboneRuntime(cfg)
+    sz = rt.clip_cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
+    held = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
+    rt.encode_image(imgs)           # calibrates
+    f1 = np.asarray(rt.encode_image(held))  # gates + saves
+    assert rt._qvision is not None
+    import os as _os
+    assert _os.path.isdir(cache)
+
+    rt2 = BackboneRuntime(cfg)
+    f2 = np.asarray(rt2.encode_image(held))  # loads: int8 from batch 1
+    assert rt2._qvision is not None and rt2._qvision_pending is None
+    np.testing.assert_allclose(f2, f1, rtol=1e-5, atol=1e-5)

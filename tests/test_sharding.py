@@ -180,3 +180,46 @@ def test_fused_mha_packed_tp_matches_single_device():
                                    atol=2e-5, rtol=2e-5)
     finally:
         mha_short.set_tp_mesh(None)
+
+
+def test_fused_mha_packed_q3i_tp_matches_single_device():
+    """Integer-QKᵀ attention under the 2-D (data, model) mesh (round-4
+    verdict item 7): per-rank head/scale slices via shard_map must reproduce
+    the single-device kernel bit-exactly (int8 outputs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from team_tpu.ops import mha_short
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    rng = np.random.default_rng(1)
+    b, s, d, heads = 8, 11, 64, 4
+    dh = d // heads
+    qkv_q = jnp.asarray(rng.integers(-127, 128, (b, s, 3 * d), dtype=np.int8))
+    # head-uniform q/k scales, per-channel v scales
+    sq = rng.uniform(0.01, 0.05, heads).astype(np.float32)
+    sk = rng.uniform(0.01, 0.05, heads).astype(np.float32)
+    deq = jnp.asarray(np.concatenate([
+        np.repeat(sq, dh), np.repeat(sk, dh),
+        rng.uniform(0.01, 0.05, d).astype(np.float32)])[None, :])
+    qks = jnp.asarray((sq * sk * dh ** -0.5)[None, :])
+    oinv = jnp.asarray(rng.uniform(5.0, 20.0, d).astype(np.float32)[None, :])
+
+    want = mha_short.fused_mha_packed_q3i(qkv_q, deq, qks, oinv, heads,
+                                          interpret=True)
+    mha_short.set_tp_mesh(mesh)
+    try:
+        got = mha_short.fused_mha_packed_q3i_tp(qkv_q, deq, qks, oinv, heads,
+                                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # causal path (text tower) too
+        want_c = mha_short.fused_mha_packed_q3i(qkv_q, deq, qks, oinv, heads,
+                                                causal=True, interpret=True)
+        got_c = mha_short.fused_mha_packed_q3i_tp(qkv_q, deq, qks, oinv, heads,
+                                                  causal=True, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    finally:
+        mha_short.set_tp_mesh(None)
