@@ -34,7 +34,8 @@ from team_tpu.ops.preprocess import preprocess_batch
 from bench import bench_scanned  # noqa: E402
 
 IMPLS = {"qa": "static3d_qa", "qaf": "static3d_qaf",
-         "qi": "static3d_qi", "qi2": "static3d_qi2"}
+         "qi": "static3d_qi", "qi2": "static3d_qi2",
+         "qis": "static3d_qis"}
 
 
 def main():

@@ -565,6 +565,30 @@ def _qblock_forward_static3d_qi(qb: Dict[str, Any], x: jax.Array, heads: int,
     return x + _static_linear3(g, qb["proj"])
 
 
+def _qblock_forward_static3d_qis(qb: Dict[str, Any], x: jax.Array, heads: int,
+                                 kv_len, *, attn_impl: str, interpret: bool,
+                                 causal: bool = False) -> jax.Array:
+    """SEQUENCE-MAJOR static3d_qi block (``x: [S, B, D]`` — round-4 layout
+    probe): identical math to `_qblock_forward_static3d_qi`, but the conv
+    emitter sees B=256 (tile-friendly) as the spatial dim and S=197 as the
+    batch dim. Non-causal, full-kv only (the vision tower)."""
+    from team_tpu.ops.mha_short import fused_mha_packed_q3i_sb
+
+    assert not causal
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    qkvq = _static_linear3(_ln_quant3(x, qb["ln_1"], qb["qkv"]["inv_a"]),
+                           qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a_i"])
+    oq = fused_mha_packed_q3i_sb(qkvq, qb["qkv"]["deq_i"],
+                                 qb["qkv"]["qk_scale"], qb["out"]["inv_a"],
+                                 heads, interpret=interpret)
+    x = x + _static_linear3(oq, qb["out"])
+    g = _static_linear3(_ln_quant3(x, qb["ln_2"], qb["fc"]["inv_a"]),
+                        qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    return x + _static_linear3(g, qb["proj"])
+
+
 def _qblock_forward_static_qa(qb: Dict[str, Any], x: jax.Array, heads: int,
                               kv_len, *, attn_impl: str, interpret: bool,
                               causal: bool = False) -> jax.Array:
@@ -827,6 +851,7 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
              "static3d_qa": _qblock_forward_static3d_qa,
              "static3d_qaf": _qblock_forward_static3d_qaf,
              "static3d_qi": _qblock_forward_static3d_qi,
+             "static3d_qis": _qblock_forward_static3d_qis,
              "static3d_qi2": _functools.partial(_qblock_forward_static3d_qi,
                                                 pv_int8=True),
              "pallas": _qblock_forward}[gemm_impl]
@@ -836,6 +861,15 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
     x = jnp.concatenate([cls, tokens], axis=1)
     x = x + qvision["pos"].astype(compute_dtype)
     x = _layer_norm(qvision["ln_pre"], x)
+    if gemm_impl == "static3d_qis":
+        # sequence-major layout probe: one transpose in, cls row out
+        x = x.transpose(1, 0, 2)          # [S, B, D]
+        for qb in qvision["blocks"]:
+            x = _qblock_forward_static3d_qis(qb, x, v.heads, v.seq_len,
+                                             attn_impl=attn_impl,
+                                             interpret=interpret)
+        x = _layer_norm(qvision["ln_post"], x[0])
+        return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)
     x = _maybe_pad_seq(x, attn_impl, seq_pad,
                        auto_default=gemm_impl in ("static", "static_qa", "hybrid"))
     for qb in qvision["blocks"]:

@@ -562,6 +562,73 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
       o_inv.reshape(1, d_model).astype(jnp.float32))
 
 
+def _mha_packed_q3i_sb_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
+                              heads: int, dh: int, precision):
+    """Sequence-major ([S, G, 3D]) variant of :func:`_mha_packed_q3i_kernel`
+    for the layout probe (non-causal, full kv). Same math; the block slices
+    samples out of dim 1."""
+    d_model = heads * dh
+    group = qkv_ref.shape[1]
+    deq = deq_ref[0, :]
+    oinv = oinv_ref[0, :]
+    for g in range(group):
+        for h in range(heads):
+            ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
+            q8 = qkv_ref[:, g, ql:ql + dh]
+            k8 = qkv_ref[:, g, kl:kl + dh]
+            acc = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32, precision=precision,
+            )
+            logits = acc.astype(jnp.float32) * qks_ref[0:1, h:h + 1]
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pv_scale = deq[vl:vl + dh] * oinv[ql:ql + dh]
+            v = qkv_ref[:, g, vl:vl + dh].astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            ) * pv_scale[None, :]
+            o_ref[:, g, ql:ql + dh] = jnp.clip(jnp.round(out),
+                                               -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret", "precision"))
+def fused_mha_packed_q3i_sb(qkv_q: jax.Array, deq: jax.Array,
+                            qk_scale: jax.Array, o_inv: jax.Array, heads: int,
+                            *, interpret: bool = False,
+                            precision: str = "default") -> jax.Array:
+    """Sequence-major integer-QKᵀ attention: ``[S, B, 3D]`` int8 ->
+    ``[S, B, D]`` int8 (round-4 layout probe: puts the non-tile-multiple
+    sequence dim where XLA's conv emitter packs the batch)."""
+    s, b, d3 = qkv_q.shape
+    d_model = d3 // 3
+    dh = d_model // heads
+    g = _QI_GROUP if b % _QI_GROUP == 0 else 1
+    kernel = functools.partial(
+        _mha_packed_q3i_sb_kernel, heads=heads, dh=dh,
+        precision=jax.lax.Precision(precision))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((s, g, d3), lambda i: (0, i, 0)),
+                  pl.BlockSpec((1, d3), lambda i: (0, 0)),
+                  pl.BlockSpec((1, heads), lambda i: (0, 0)),
+                  pl.BlockSpec((1, d_model), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((s, g, d_model), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((s, b, d_model), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * s * dh,
+            bytes_accessed=4 * b * s * d3,
+            transcendentals=b * heads * s * s,
+        ),
+    )(qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+      qk_scale.reshape(1, heads).astype(jnp.float32),
+      o_inv.reshape(1, d_model).astype(jnp.float32))
+
+
 def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
                        bout_ref, o_ref, *, heads: int, dh: int, scale: float,
                        causal: bool, precision):
