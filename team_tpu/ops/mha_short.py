@@ -240,6 +240,11 @@ _PACKED_GROUP = max(1, int(_os.environ.get("TEAM_MHA_GROUP", "1")))
 # q3i (integer-QK) kernel group — independent default (see fused_mha_packed_q3i)
 _QI_GROUP = max(1, int(_os.environ.get("TEAM_QI_GROUP",
                                        _os.environ.get("TEAM_MHA_GROUP", "2"))))
+# q3i softmax flavor: "f32" (scale→max→exp) or "exp2i" (int32 row-max, then a
+# single fused (acc-m)·s·log2e multiply into exp2 — skips the standalone f32
+# convert+scale pass over the [S,S] logits; unmasked paths only)
+_QI_SOFTMAX = _os.environ.get("TEAM_QI_SOFTMAX", "f32")
+_LOG2E = 1.4426950408889634
 
 
 def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
@@ -439,7 +444,8 @@ def fused_mha_packed_q3(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
 
 def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                            heads: int, dh: int, causal: bool, kv_len,
-                           precision, pv_int8: bool, defer_norm: bool = False):
+                           precision, pv_int8: bool, defer_norm: bool = False,
+                           softmax: str = "f32"):
     """Fully-integer QKᵀ attention (round-4 verdict item 1).
 
     Requires the q/k segments of the int8 qkv tensor to be quantized with
@@ -475,11 +481,20 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                 q8, k8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32, precision=precision,
             )
-            logits = acc.astype(jnp.float32) * qks_ref[0:1, h:h + 1]
-            if mask is not None:
-                logits = jnp.where(mask, logits, NEG_INF)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
+            if softmax == "exp2i" and mask is None:
+                # integer row-max (qk_scale > 0, so argmax commutes with the
+                # scaling) + ONE fused convert·multiply with log2e folded into
+                # the per-head scale, feeding exp2 — the standalone f32
+                # convert+scale pass over the [S,S] logits disappears
+                m_i = jnp.max(acc, axis=-1, keepdims=True)
+                p = jnp.exp2((acc - m_i).astype(jnp.float32)
+                             * (qks_ref[0:1, h:h + 1] * _LOG2E))
+            else:
+                logits = acc.astype(jnp.float32) * qks_ref[0:1, h:h + 1]
+                if mask is not None:
+                    logits = jnp.where(mask, logits, NEG_INF)
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                p = jnp.exp(logits - m)
             denom = jnp.sum(p, axis=-1, keepdims=True)
             if not defer_norm:
                 p = p / denom
@@ -541,7 +556,7 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
     kernel = functools.partial(
         _mha_packed_q3i_kernel, heads=heads, dh=dh, causal=causal,
         kv_len=kv_len, precision=jax.lax.Precision(precision),
-        pv_int8=pv_int8, defer_norm=defer_norm)
+        pv_int8=pv_int8, defer_norm=defer_norm, softmax=_QI_SOFTMAX)
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
@@ -563,19 +578,23 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
 
 
 def _mha_packed_q3i_sb_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
-                              heads: int, dh: int, precision):
-    """Sequence-major ([S, G, 3D]) variant of :func:`_mha_packed_q3i_kernel`
-    for the layout probe (non-causal, full kv). Same math; the block slices
-    samples out of dim 1."""
+                              heads: int, dh: int, group: int, precision):
+    """Sequence-major variant of :func:`_mha_packed_q3i_kernel` for the
+    layout probe (non-causal, full kv). The [S, B, 3D] array is viewed 2-D as
+    [S, B*3D] (free bitcast), so a sample is a contiguous 3D-wide COLUMN
+    block — Mosaic's block rules allow (S_full, k·128) lane slices where a
+    middle-dim squeeze is unsupported."""
     d_model = heads * dh
-    group = qkv_ref.shape[1]
+    d3 = 3 * d_model
     deq = deq_ref[0, :]
     oinv = oinv_ref[0, :]
     for g in range(group):
+        base = g * d3
         for h in range(heads):
-            ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
-            q8 = qkv_ref[:, g, ql:ql + dh]
-            k8 = qkv_ref[:, g, kl:kl + dh]
+            ql, kl, vl = (base + h * dh, base + d_model + h * dh,
+                          base + 2 * d_model + h * dh)
+            q8 = qkv_ref[:, ql:ql + dh]
+            k8 = qkv_ref[:, kl:kl + dh]
             acc = jax.lax.dot_general(
                 q8, k8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32, precision=precision,
@@ -584,14 +603,15 @@ def _mha_packed_q3i_sb_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
             m = jnp.max(logits, axis=-1, keepdims=True)
             p = jnp.exp(logits - m)
             p = p / jnp.sum(p, axis=-1, keepdims=True)
-            pv_scale = deq[vl:vl + dh] * oinv[ql:ql + dh]
-            v = qkv_ref[:, g, vl:vl + dh].astype(jnp.bfloat16)
+            pv_scale = (deq[vl - base:vl - base + dh]
+                        * oinv[ql - base:ql - base + dh])
+            v = qkv_ref[:, vl:vl + dh].astype(jnp.bfloat16)
             out = jax.lax.dot_general(
                 p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             ) * pv_scale[None, :]
-            o_ref[:, g, ql:ql + dh] = jnp.clip(jnp.round(out),
-                                               -127, 127).astype(jnp.int8)
+            o_ref[:, g * d_model + h * dh:g * d_model + (h + 1) * dh] = \
+                jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret", "precision"))
@@ -607,26 +627,27 @@ def fused_mha_packed_q3i_sb(qkv_q: jax.Array, deq: jax.Array,
     dh = d_model // heads
     g = _QI_GROUP if b % _QI_GROUP == 0 else 1
     kernel = functools.partial(
-        _mha_packed_q3i_sb_kernel, heads=heads, dh=dh,
+        _mha_packed_q3i_sb_kernel, heads=heads, dh=dh, group=g,
         precision=jax.lax.Precision(precision))
-    return pl.pallas_call(
+    out2d = pl.pallas_call(
         kernel,
         grid=(b // g,),
-        in_specs=[pl.BlockSpec((s, g, d3), lambda i: (0, i, 0)),
+        in_specs=[pl.BlockSpec((s, g * d3), lambda i: (0, i)),
                   pl.BlockSpec((1, d3), lambda i: (0, 0)),
                   pl.BlockSpec((1, heads), lambda i: (0, 0)),
                   pl.BlockSpec((1, d_model), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((s, g, d_model), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((s, b, d_model), jnp.int8),
+        out_specs=pl.BlockSpec((s, g * d_model), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((s, b * d_model), jnp.int8),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * heads * s * s * dh,
             bytes_accessed=4 * b * s * d3,
             transcendentals=b * heads * s * s,
         ),
-    )(qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+    )(qkv_q.reshape(s, b * d3), deq.reshape(1, d3).astype(jnp.float32),
       qk_scale.reshape(1, heads).astype(jnp.float32),
       o_inv.reshape(1, d_model).astype(jnp.float32))
+    return out2d.reshape(s, b, d_model)
 
 
 def _attn_block_kernel(x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
