@@ -206,6 +206,17 @@ def _block_calib_forward(blk: Params, x: jax.Array, heads: int, kv_len,
     qkv = (h @ blk["attn"]["qkv_w"].astype(h.dtype)
            + blk["attn"]["qkv_b"].astype(h.dtype)).reshape(b, s, 3 * d)
     a_qkv = jnp.max(jnp.abs(qkv.astype(jnp.float32)), axis=(0, 1))
+    # per-head max attention LOGIT (q·kᵀ·dh^-0.5): feeds the static-max
+    # softmax in the integer-QKᵀ kernel (TEAM_QI_SOFTMAX=static), which
+    # replaces the row-max reduce over the [S,S] logits with this constant.
+    # Signed max (softmax subtracts the max, not the abs-max); causal/kv
+    # masking ignored — an over-estimate only costs unused exp2 headroom.
+    dh = d // heads
+    qh = qkv[..., :d].reshape(b, s, heads, dh)
+    kh = qkv[..., d:2 * d].reshape(b, s, heads, dh)
+    lg = jnp.einsum("bqhc,bkhc->bhqk", qh, kh,
+                    preferred_element_type=jnp.float32)
+    a_lmax = jnp.max(lg, axis=(0, 2, 3)) * dh ** -0.5
     o = _attn_core(qkv, heads, kv_len, attn_impl=attn_impl, interpret=False,
                    causal=causal)
     a_o = jnp.max(jnp.abs(o.astype(jnp.float32)), axis=0)
@@ -219,7 +230,7 @@ def _block_calib_forward(blk: Params, x: jax.Array, heads: int, kv_len,
     x = x + (g @ blk["mlp"]["proj_w"].astype(g.dtype)
              + blk["mlp"]["proj_b"].astype(g.dtype)).reshape(b, s, d)
     return x, {"ln1": a_ln1, "attn_o": a_o, "ln2": a_ln2, "gelu": a_g,
-               "qkv_out": a_qkv}
+               "qkv_out": a_qkv, "qk_lmax": a_lmax}
 
 
 def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
@@ -295,6 +306,12 @@ def quantize_block_static(blk: Params, stats: Dict[str, jax.Array],
             sq_h = s_u[:d].reshape(heads, dh)[:, 0]
             sk_h = s_u[d:2 * d].reshape(heads, dh)[:, 0]
             qkv_site["qk_scale"] = (sq_h * sk_h * dh ** -0.5)[None, :]
+            if "qk_lmax" in stats:
+                # calibrated per-head max logit in exp2 units (+2-nat margin
+                # for quantization noise; exp2 headroom is 88 nats) — the
+                # static-max softmax constant (TEAM_QI_SOFTMAX=static)
+                qkv_site["qk_m2"] = ((stats["qk_lmax"].astype(jnp.float32)
+                                      + 2.0) * 1.4426950408889634)[None, :]
     return {
         "ln_1": blk["ln_1"], "ln_2": blk["ln_2"],
         "qkv": qkv_site,
@@ -557,7 +574,8 @@ def _qblock_forward_static3d_qi(qb: Dict[str, Any], x: jax.Array, heads: int,
                                                    and kv_len < s) else None,
                                  interpret=interpret, pv_int8=pv_int8,
                                  defer_norm=_os.environ.get(
-                                     "TEAM_QI_DEFER", "0") == "1")
+                                     "TEAM_QI_DEFER", "0") == "1",
+                                 qk_m2=qb["qkv"].get("qk_m2"))
     x = x + _static_linear3(oq, qb["out"])
     g = _static_linear3(_ln_quant3(x, qb["ln_2"], qb["fc"]["inv_a"]),
                         qb["fc"], activation="gelu",

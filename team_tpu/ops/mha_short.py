@@ -237,13 +237,22 @@ import os as _os
 
 # samples per program (amortizes per-program DMA/overhead; tuning knob)
 _PACKED_GROUP = max(1, int(_os.environ.get("TEAM_MHA_GROUP", "1")))
-# q3i (integer-QK) kernel group — independent default (see fused_mha_packed_q3i)
+# q3i (integer-QK) kernel group — independent default (see fused_mha_packed_q3i).
+# Re-tuned per softmax regime: row-max softmax preferred 2, the static-max
+# softmax prefers 4 (6088/6069 vs 6052 img/s; 8 exceeds VMEM) — cheaper
+# per-sample VPU work keeps shifting the balance toward amortizing
+# per-program fixed costs over more samples.
 _QI_GROUP = max(1, int(_os.environ.get("TEAM_QI_GROUP",
-                                       _os.environ.get("TEAM_MHA_GROUP", "2"))))
-# q3i softmax flavor: "f32" (scale→max→exp) or "exp2i" (int32 row-max, then a
-# single fused (acc-m)·s·log2e multiply into exp2 — skips the standalone f32
-# convert+scale pass over the [S,S] logits; unmasked paths only)
-_QI_SOFTMAX = _os.environ.get("TEAM_QI_SOFTMAX", "f32")
+                                       _os.environ.get("TEAM_MHA_GROUP", "4"))))
+# q3i softmax flavor (round-4 probes, docs/BENCH.md):
+#   "static" — CALIBRATED per-head max logit replaces the row-max reduce over
+#              the [S,S] logits (quant.py qk_m2; exp2 with log2e folded into
+#              the per-head scale). +317 img/s on chip; falls back to "f32"
+#              wherever qk_m2 is absent (old payloads) or a mask is in play.
+#   "f32"    — scale→row-max→exp (always-correct reference path)
+#   "exp2i"  — int32 row-max variant; measured SLOWER (5562 vs 5735 — the
+#              VPU is f32-native), kept as a probe record
+_QI_SOFTMAX = _os.environ.get("TEAM_QI_SOFTMAX", "static")
 _LOG2E = 1.4426950408889634
 
 
@@ -442,7 +451,7 @@ def fused_mha_packed_q3(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
       o_inv.reshape(1, d_model).astype(jnp.float32))
 
 
-def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
+def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, *rest,
                            heads: int, dh: int, causal: bool, kv_len,
                            precision, pv_int8: bool, defer_norm: bool = False,
                            softmax: str = "f32"):
@@ -458,6 +467,10 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
     probabilities to int8 (p ∈ [0,1] → round(p·127), a uniform scale that
     commutes with the contraction) so PV is an int8 dot too; v's per-channel
     scale applies post-dot on the output columns."""
+    if softmax == "static":
+        qkm2_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     d_model = heads * dh
     s = qkv_ref.shape[1]
     group = qkv_ref.shape[0]
@@ -481,7 +494,16 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                 q8, k8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32, precision=precision,
             )
-            if softmax == "exp2i" and mask is None:
+            if softmax == "static" and mask is None:
+                # CALIBRATED static per-head max (round-4 probe): the row-max
+                # reduce over the [S,S] logits disappears entirely — exp2
+                # overflows only if a held-out logit exceeds the calibrated
+                # max by >88 nats (calibration headroom is ~2), and entries
+                # >87 below it underflow to 0 exactly as exact softmax would
+                p = jnp.exp2(acc.astype(jnp.float32)
+                             * (qks_ref[0:1, h:h + 1] * _LOG2E)
+                             - qkm2_ref[0:1, h:h + 1])
+            elif softmax == "exp2i" and mask is None:
                 # integer row-max (qk_scale > 0, so argmax commutes with the
                 # scaling) + ONE fused convert·multiply with log2e folded into
                 # the per-head scale, feeding exp2 — the standalone f32
@@ -533,7 +555,8 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
                          kv_len: int | None = None, interpret: bool = False,
                          precision: str = "default",
                          pv_int8: bool = False,
-                         defer_norm: bool = False) -> jax.Array:
+                         defer_norm: bool = False,
+                         qk_m2: jax.Array | None = None) -> jax.Array:
     """Integer-matmul static-W8A8 attention: ``[B, S, 3D]`` int8 qkv (q/k
     quantized per-head-uniform) -> ``[B, S, D]`` int8.
 
@@ -553,17 +576,32 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
     # prefers group 1 (grouping lost there, round 3). Separate knob so the
     # two kernels tune independently.
     g = _QI_GROUP if b % _QI_GROUP == 0 else 1
+    # calibrated static-max softmax only when the knob asks for it, the
+    # calibration actually produced qk_m2, and nothing is masked (the static
+    # max is meaningless under causal/kv masks)
+    mode = _QI_SOFTMAX
+    use_static = (mode == "static" and qk_m2 is not None and not causal
+                  and (kv_len is None or kv_len >= s))
+    if mode == "static" and not use_static:
+        mode = "f32"
     kernel = functools.partial(
         _mha_packed_q3i_kernel, heads=heads, dh=dh, causal=causal,
         kv_len=kv_len, precision=jax.lax.Precision(precision),
-        pv_int8=pv_int8, defer_norm=defer_norm, softmax=_QI_SOFTMAX)
+        pv_int8=pv_int8, defer_norm=defer_norm, softmax=mode)
+    in_specs = [pl.BlockSpec((g, s, d3), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, d3), lambda i: (0, 0)),
+                pl.BlockSpec((1, heads), lambda i: (0, 0)),
+                pl.BlockSpec((1, d_model), lambda i: (0, 0))]
+    operands = [qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+                qk_scale.reshape(1, heads).astype(jnp.float32),
+                o_inv.reshape(1, d_model).astype(jnp.float32)]
+    if use_static:
+        in_specs.append(pl.BlockSpec((1, heads), lambda i: (0, 0)))
+        operands.append(qk_m2.reshape(1, heads).astype(jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(b // g,),
-        in_specs=[pl.BlockSpec((g, s, d3), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((1, d3), lambda i: (0, 0)),
-                  pl.BlockSpec((1, heads), lambda i: (0, 0)),
-                  pl.BlockSpec((1, d_model), lambda i: (0, 0))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((g, s, d_model), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, d_model), jnp.int8),
         interpret=interpret,
@@ -572,9 +610,7 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
             bytes_accessed=4 * b * s * d3,
             transcendentals=b * heads * s * s,
         ),
-    )(qkv_q, deq.reshape(1, d3).astype(jnp.float32),
-      qk_scale.reshape(1, heads).astype(jnp.float32),
-      o_inv.reshape(1, d_model).astype(jnp.float32))
+    )(*operands)
 
 
 def _mha_packed_q3i_sb_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
@@ -1014,7 +1050,8 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
                             *, causal: bool = False, kv_len: int | None = None,
                             interpret: bool = False,
                             pv_int8: bool = False,
-                            defer_norm: bool = False) -> jax.Array:
+                            defer_norm: bool = False,
+                            qk_m2: jax.Array | None = None) -> jax.Array:
     """Tensor-parallel :func:`fused_mha_packed_q3i` (round-4 verdict item 7:
     the int8 tier must compose with the 2-D data×model mesh).
 
@@ -1032,14 +1069,14 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
         return fused_mha_packed_q3i(qkv_q, deq, qk_scale, o_inv, heads,
                                     causal=causal, kv_len=kv,
                                     interpret=interpret, pv_int8=pv_int8,
-                                    defer_norm=defer_norm)
+                                    defer_norm=defer_norm, qk_m2=qk_m2)
     mesh, model_axis, data_axis = _TP_MESH
     nm = int(mesh.shape[model_axis])
     if nm == 1 or heads % nm or d % nm:
         return fused_mha_packed_q3i(qkv_q, deq, qk_scale, o_inv, heads,
                                     causal=causal, kv_len=kv,
                                     interpret=interpret, pv_int8=pv_int8,
-                                    defer_norm=defer_norm)
+                                    defer_norm=defer_norm, qk_m2=qk_m2)
     dm = d // nm
     hm = heads // nm
     shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
@@ -1050,8 +1087,12 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
     deq2 = deq.reshape(1, d3)
     qks2 = qk_scale.reshape(1, heads)
     oinv2 = o_inv.reshape(1, d)
+    # per-head static softmax max slices exactly like the [1, H] logit scales
+    m2_full = (qk_m2.reshape(1, heads) if qk_m2 is not None
+               else jnp.zeros((1, heads), jnp.float32))
+    has_m2 = qk_m2 is not None
 
-    def local(qkv_l, deq_l, qks_l, oinv_l):
+    def local(qkv_l, deq_l, qks_l, oinv_l, m2_l):
         r = jax.lax.axis_index(model_axis)
         segs = [
             jax.lax.dynamic_slice_in_dim(qkv_l, seg * d + r * dm, dm, axis=2)
@@ -1065,15 +1106,18 @@ def fused_mha_packed_q3i_tp(qkv_q: jax.Array, deq: jax.Array,
         deq_p = jnp.concatenate(dsegs, axis=-1)       # [1, 3*dm]
         qks_p = jax.lax.dynamic_slice_in_dim(qks_l, r * hm, hm, axis=1)
         oinv_p = jax.lax.dynamic_slice_in_dim(oinv_l, r * dm, dm, axis=1)
+        m2_p = (jax.lax.dynamic_slice_in_dim(m2_l, r * hm, hm, axis=1)
+                if has_m2 else None)
         return fused_mha_packed_q3i(packed, deq_p, qks_p, oinv_p, hm,
                                     causal=causal, kv_len=kv,
                                     interpret=interpret or _FORCE_INTERPRET,
-                                    pv_int8=pv_int8, defer_norm=defer_norm)
+                                    pv_int8=pv_int8, defer_norm=defer_norm,
+                                    qk_m2=m2_p)
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(data_axis, None, None), P(None, None), P(None, None),
-                  P(None, None)),
+                  P(None, None), P(None, None)),
         out_specs=P(data_axis, None, model_axis),
         check_vma=False,
-    )(qkv_q, deq2, qks2, oinv2)
+    )(qkv_q, deq2, qks2, oinv2, m2_full)

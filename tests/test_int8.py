@@ -207,6 +207,51 @@ def test_integer_qk_attention_tower_cosine_gate(rng, gemm_impl):
         assert cos.min() >= 0.999, (gemm_impl, cos)
 
 
+def test_static_max_softmax_matches_row_max(rng):
+    """TEAM_QI_SOFTMAX=static replaces the integer-QKᵀ kernel's row-max
+    reduce with the CALIBRATED per-head max logit (quant.py qk_m2; measured
+    +317 img/s on chip, round 4). Softmax is shift-invariant, so the output
+    must match the row-max path to (at most) one int8 step — and a payload
+    saved BEFORE the feature (no qk_m2 key) must fall back to the row-max
+    path rather than fail."""
+    import team_tpu.ops.mha_short as mha
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((8, sz, sz, 3)).astype(np.float32))
+    calib = calibrate_vision_tower(params, imgs, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
+    assert "qk_m2" in qv["blocks"][0]["qkv"]
+
+    old = mha._QI_SOFTMAX
+    try:
+        mha._QI_SOFTMAX = "f32"
+        base = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                            gemm_impl="static3d_qi",
+                                            interpret=True))
+        mha._QI_SOFTMAX = "static"
+        got = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                           gemm_impl="static3d_qi",
+                                           interpret=True))
+        cos = _cosine(jnp.asarray(got), jnp.asarray(base))
+        assert cos.min() >= 0.9999, cos
+        # pre-feature payload: strip qk_m2 -> must fall back, not crash
+        qv_old = jax.tree_util.tree_map(lambda x: x, qv)
+        for qb in qv_old["blocks"]:
+            qb["qkv"] = {k: v for k, v in qb["qkv"].items() if k != "qk_m2"}
+        fb = np.asarray(encode_image_int8(qv_old, imgs, cfg, attn_impl="xla",
+                                          gemm_impl="static3d_qi",
+                                          interpret=True))
+        assert np.array_equal(fb, base)
+    finally:
+        mha._QI_SOFTMAX = old
+
+
 def test_ln_quant3_one_pass_matches_two_pass(rng):
     """The one-pass (E[x²]−E[x]²) fused LN→quantize matches the two-pass form
     to (at most) one int8 step on realistic activation magnitudes."""
