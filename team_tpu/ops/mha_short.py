@@ -238,12 +238,13 @@ import os as _os
 # samples per program (amortizes per-program DMA/overhead; tuning knob)
 _PACKED_GROUP = max(1, int(_os.environ.get("TEAM_MHA_GROUP", "1")))
 # q3i (integer-QK) kernel group — independent default (see fused_mha_packed_q3i).
-# Re-tuned per softmax regime: row-max softmax preferred 2, the static-max
-# softmax prefers 4 (6088/6069 vs 6052 img/s; 8 exceeds VMEM) — cheaper
-# per-sample VPU work keeps shifting the balance toward amortizing
-# per-program fixed costs over more samples.
+# Re-tuned per kernel regime (each softmax cheapening pushes the optimum
+# toward amortizing per-program fixed costs over more samples): row-max
+# softmax preferred 2, static-max 4, static-max+mxu-rowsum 8 (6303 vs 6286
+# g2 / 6280 g4; 16 exceeds VMEM — and 8 only COMPILES in the mxu-rowsum
+# regime, whose fused dot-epilogue needs no second [S, S] f32 buffer).
 _QI_GROUP = max(1, int(_os.environ.get("TEAM_QI_GROUP",
-                                       _os.environ.get("TEAM_MHA_GROUP", "4"))))
+                                       _os.environ.get("TEAM_MHA_GROUP", "8"))))
 # q3i softmax flavor (round-4 probes, docs/BENCH.md):
 #   "static" — CALIBRATED per-head max logit replaces the row-max reduce over
 #              the [S,S] logits (quant.py qk_m2; exp2 with log2e folded into
@@ -253,6 +254,15 @@ _QI_GROUP = max(1, int(_os.environ.get("TEAM_QI_GROUP",
 #   "exp2i"  — int32 row-max variant; measured SLOWER (5562 vs 5735 — the
 #              VPU is f32-native), kept as a probe record
 _QI_SOFTMAX = _os.environ.get("TEAM_QI_SOFTMAX", "static")
+# q3i row-sum engine: "mxu" rides the softmax denominator on the PV dot as an
+# extra ones-column (the [S, dh] output tile pads 64->128 lanes anyway, so the
+# column is free) and defers the normalize to the [S, dh] output — the [S, S]
+# sum-reduce AND [S, S] divide VPU passes both disappear; "reduce" is the
+# classic in-kernel sum+divide. bf16-path only (pv_int8 keeps "reduce").
+# Measured 6280 vs 6099 img/s on chip (round 4, docs/BENCH.md); held-out
+# cosine gate unchanged (min 0.999751 — the denominator's bf16 rounding is
+# invisible next to the PV numerator's, which was already bf16).
+_QI_ROWSUM = _os.environ.get("TEAM_QI_ROWSUM", "mxu")
 _LOG2E = 1.4426950408889634
 
 
@@ -454,7 +464,7 @@ def fused_mha_packed_q3(qkv_q: jax.Array, deq: jax.Array, o_inv: jax.Array,
 def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, *rest,
                            heads: int, dh: int, causal: bool, kv_len,
                            precision, pv_int8: bool, defer_norm: bool = False,
-                           softmax: str = "f32"):
+                           softmax: str = "f32", rowsum: str = "reduce"):
     """Fully-integer QKᵀ attention (round-4 verdict item 1).
 
     Requires the q/k segments of the int8 qkv tensor to be quantized with
@@ -517,14 +527,36 @@ def _mha_packed_q3i_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, *rest,
                     logits = jnp.where(mask, logits, NEG_INF)
                 m = jnp.max(logits, axis=-1, keepdims=True)
                 p = jnp.exp(logits - m)
-            denom = jnp.sum(p, axis=-1, keepdims=True)
-            if not defer_norm:
-                p = p / denom
+            rowsum_mxu = rowsum == "mxu" and not pv_int8
+            if not rowsum_mxu:
+                denom = jnp.sum(p, axis=-1, keepdims=True)
+                if not defer_norm:
+                    p = p / denom
             # v's per-channel dequant scales output COLUMNS of the PV
             # contraction, so they commute with the dot and fold into the
             # output quantize scale — P multiplies raw int8 v (cast bf16),
             # saving a [S, dh] dequant multiply per head (exact math)
             pv_scale = deq[vl:vl + dh] * oinv[ql:ql + dh]
+            if rowsum_mxu:
+                # softmax denominator rides the PV contraction: p @ [v | 1]
+                # yields the row sums in the extra output column (the [S, dh]
+                # tile pads 64->128 lanes, so the column costs nothing on the
+                # MXU), and the normalize happens on the [S, dh] output — the
+                # [S, S] sum-reduce and [S, S] divide passes both vanish.
+                # Denominator precision: p is bf16 in the dot either way (the
+                # PV numerator already rounds p to bf16), accumulation in f32.
+                v = qkv_ref[g][:, vl:vl + dh].astype(jnp.bfloat16)
+                von = jnp.concatenate(
+                    [v, jnp.ones((s, 1), jnp.bfloat16)], axis=1)
+                out_aug = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), von, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                out = (out_aug[:, :dh] * pv_scale[None, :]
+                       / out_aug[:, dh:dh + 1])
+                o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
+                                                   -127, 127).astype(jnp.int8)
+                continue
             if pv_int8:
                 p8 = jnp.clip(jnp.round(p * 127.0), 0, 127).astype(jnp.int8)
                 v8 = qkv_ref[g][:, vl:vl + dh]
@@ -587,7 +619,8 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
     kernel = functools.partial(
         _mha_packed_q3i_kernel, heads=heads, dh=dh, causal=causal,
         kv_len=kv_len, precision=jax.lax.Precision(precision),
-        pv_int8=pv_int8, defer_norm=defer_norm, softmax=mode)
+        pv_int8=pv_int8, defer_norm=defer_norm, softmax=mode,
+        rowsum=_QI_ROWSUM)
     in_specs = [pl.BlockSpec((g, s, d3), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, d3), lambda i: (0, 0)),
                 pl.BlockSpec((1, heads), lambda i: (0, 0)),

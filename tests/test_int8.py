@@ -213,7 +213,12 @@ def test_static_max_softmax_matches_row_max(rng):
     +317 img/s on chip, round 4). Softmax is shift-invariant, so the output
     must match the row-max path to (at most) one int8 step — and a payload
     saved BEFORE the feature (no qk_m2 key) must fall back to the row-max
-    path rather than fail."""
+    path rather than fail.
+
+    The knob is read at TRACE time inside the jitted kernel wrapper, and
+    qk_m2 is a traced operand — flipping the knob with the same payload
+    would silently HIT the jit cache (and an earlier test's tracing choice),
+    so the cache must be cleared at every flip."""
     import team_tpu.ops.mha_short as mha
     from team_tpu.backbone.clip import CLIPConfig, init_clip_params
     from team_tpu.backbone.quant import (calibrate_vision_tower,
@@ -231,10 +236,12 @@ def test_static_max_softmax_matches_row_max(rng):
     old = mha._QI_SOFTMAX
     try:
         mha._QI_SOFTMAX = "f32"
+        mha.fused_mha_packed_q3i.clear_cache()
         base = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
                                             gemm_impl="static3d_qi",
                                             interpret=True))
         mha._QI_SOFTMAX = "static"
+        mha.fused_mha_packed_q3i.clear_cache()
         got = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
                                            gemm_impl="static3d_qi",
                                            interpret=True))
@@ -250,6 +257,46 @@ def test_static_max_softmax_matches_row_max(rng):
         assert np.array_equal(fb, base)
     finally:
         mha._QI_SOFTMAX = old
+        mha.fused_mha_packed_q3i.clear_cache()
+
+
+def test_rowsum_mxu_matches_reduce(rng):
+    """TEAM_QI_ROWSUM=mxu rides the softmax denominator on the PV dot as an
+    extra ones-column and normalizes the [S, dh] output — numerically the
+    same softmax up to the denominator's bf16 rounding (p is bf16 in the PV
+    dot either way; f32 accumulation), so interpret-mode outputs must match
+    the in-kernel sum+divide to at most ONE int8 step, on both the
+    static-max and the row-max softmax flavors. The jit cache must be
+    cleared between knob flips — the knob is read at trace time."""
+    import team_tpu.ops.mha_short as mha
+
+    b, s, heads, dh = 4, 24, 4, 16
+    d = heads * dh
+    qkv = jnp.asarray(rng.integers(-127, 128, (b, s, 3 * d)).astype(np.int8))
+    deq = jnp.asarray(rng.uniform(0.01, 0.03, (3 * d,)).astype(np.float32))
+    qks = jnp.asarray(rng.uniform(1e-4, 3e-4, (heads,)).astype(np.float32))
+    oinv = jnp.asarray(rng.uniform(20, 60, (d,)).astype(np.float32))
+    m2 = jnp.asarray(rng.uniform(3, 6, (heads,)).astype(np.float32))
+
+    old = mha._QI_ROWSUM
+    try:
+        outs = {}
+        for mode in ("reduce", "mxu"):
+            mha._QI_ROWSUM = mode
+            mha.fused_mha_packed_q3i.clear_cache()
+            outs[mode] = np.asarray(mha.fused_mha_packed_q3i(
+                qkv, deq, qks, oinv, heads, interpret=True,
+                qk_m2=m2).astype(np.int32))
+            outs[mode + "_rowmax"] = np.asarray(mha.fused_mha_packed_q3i(
+                qkv, deq, qks, oinv, heads,
+                interpret=True).astype(np.int32))
+    finally:
+        mha._QI_ROWSUM = old
+        mha.fused_mha_packed_q3i.clear_cache()
+    for flavor in ("", "_rowmax"):
+        diff = np.abs(outs["mxu" + flavor] - outs["reduce" + flavor])
+        assert diff.max() <= 1, (flavor, diff.max())
+        assert (diff > 0).mean() < 0.2, (flavor, (diff > 0).mean())
 
 
 def test_ln_quant3_one_pass_matches_two_pass(rng):
