@@ -331,6 +331,38 @@ bool ProcessOneU8(const char* path, int image_size, bool hflip, uint8_t* out) {
   return true;
 }
 
+// Patch-major uint8 variant: writes the decoded+resized pixels straight into
+// the ViT patch-pixel layout [grid*grid, 3*ps*ps] with the torch-conv
+// element order (token = (y/ps)*grid + x/ps; inner = (c*ps + y%ps)*ps + x%ps
+// — matches team_tpu.backbone.clip.patch_pixels). Same bytes as the HWC
+// image, but the device then does ZERO spatial reorder: the minor-dim-3
+// [H,W,3] layout is lane-hostile on TPU (measured ~0.35 ms/batch of encode
+// time, scripts/r4_patch_ingest_probe.py), and the resampler writes every
+// pixel exactly once either way — patch-major offsets are free on the host.
+bool ProcessOneU8Patches(const char* path, int image_size, int patch_size,
+                         bool hflip, uint8_t* out) {
+  std::vector<float> resized;
+  if (!DecodeAndResize(path, image_size, &resized)) return false;
+  const int grid = image_size / patch_size;
+  const int ps2 = patch_size * patch_size;
+  for (int y = 0; y < image_size; ++y) {
+    const int ty = y / patch_size, py = y % patch_size;
+    for (int x = 0; x < image_size; ++x) {
+      const int sx = hflip ? (image_size - 1 - x) : x;
+      const float* p = resized.data() + (static_cast<size_t>(y) * image_size + sx) * 3;
+      const int tok = ty * grid + x / patch_size;
+      const int px = x % patch_size;
+      uint8_t* o = out + static_cast<size_t>(tok) * 3 * ps2;
+      for (int c = 0; c < 3; ++c) {
+        const float v = p[c] + 0.5f;
+        o[(c * patch_size + py) * patch_size + px] =
+            static_cast<uint8_t>(v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v));
+      }
+    }
+  }
+  return true;
+}
+
 ThreadPool* g_pool = nullptr;
 int g_pool_size = 0;
 std::mutex g_pool_mu;
@@ -393,6 +425,38 @@ int team_io_load_batch_u8(const char** paths, int batch, int image_size,
     pool->Submit([&, i] {
       const bool success =
           ProcessOneU8(paths[i], image_size, hflip != nullptr && hflip[i], out + stride * i);
+      ok[i] = success ? 1 : 0;
+      if (success) good.fetch_add(1);
+      if (done.fetch_add(1) + 1 == batch) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == batch; });
+  return good.load();
+}
+
+// Patch-major uint8 batch loader: out is [batch, (image_size/patch_size)^2,
+// 3*patch_size*patch_size] uint8 in the ViT patch-pixel order (see
+// ProcessOneU8Patches). The device ingest becomes a pure per-column
+// scale/bias folded into the patch-embedding dot — no reorder at all.
+int team_io_load_batch_u8_patches(const char** paths, int batch,
+                                  int image_size, int patch_size,
+                                  const uint8_t* hflip, int n_threads,
+                                  uint8_t* out, uint8_t* ok) {
+  ThreadPool* pool = GetPool(n_threads > 0 ? n_threads : 8);
+  std::atomic<int> done{0};
+  std::atomic<int> good{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t stride = static_cast<size_t>(image_size) * image_size * 3;
+  for (int i = 0; i < batch; ++i) {
+    pool->Submit([&, i] {
+      const bool success = ProcessOneU8Patches(
+          paths[i], image_size, patch_size, hflip != nullptr && hflip[i],
+          out + stride * i);
       ok[i] = success ? 1 : 0;
       if (success) good.fetch_add(1);
       if (done.fetch_add(1) + 1 == batch) {

@@ -110,6 +110,33 @@ def test_native_io_jpeg_resize(tmp_path, rng):
     assert np.isfinite(out).all()
 
 
+def test_native_io_patch_major_matches_patch_pixels(tmp_path, rng):
+    """The C++ patch-major loader must produce EXACTLY patch_pixels() of the
+    image-major u8 loader — same bytes, reordered on the host (token =
+    spatial patch, inner = torch-conv [C, ph, pw] order), incl. hflip."""
+    import jax.numpy as jnp
+
+    from team_tpu.backbone.clip import CLIPConfig, patch_pixels
+    from team_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native team_io not built")
+    p = os.path.join(str(tmp_path), "img.png")
+    arr = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(p)
+    cfg = CLIPConfig.vit_b16()
+    for flips in (None, np.asarray([1, 0], dtype=np.uint8)):
+        img, ok1 = native_io.load_batch_u8([p, p], image_size=224,
+                                           hflip=flips)
+        pat, ok2 = native_io.load_batch_u8_patches([p, p], image_size=224,
+                                                   patch_size=16,
+                                                   hflip=flips)
+        assert ok1.all() and ok2.all()
+        ref = np.asarray(patch_pixels(jnp.asarray(img), cfg,
+                                      compute_dtype=jnp.uint8))
+        np.testing.assert_array_equal(pat, ref)
+
+
 def test_native_herding_matches_numpy(rng):
     from team_tpu.data import native_io
     from team_tpu.learners.base import herding_selection

@@ -260,6 +260,37 @@ def test_static_max_softmax_matches_row_max(rng):
         mha.fused_mha_packed_q3i.clear_cache()
 
 
+def test_encode_image_int8_patches_matches_image_path(rng):
+    """Patch-major u8 ingest (`encode_image_int8_patches`, the native
+    loader's load_batch_u8_patches layout) must match the image-major u8
+    path exactly — the normalize commutes with the host-side reorder, so
+    the math is identical."""
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params, patch_pixels
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8_patches,
+                                         encode_image_int8_u8,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs_u8 = jnp.asarray(
+        np.asarray(rng.integers(0, 256, (6, sz, sz, 3))).astype(np.uint8))
+    calib = calibrate_vision_tower(
+        params, imgs_u8.astype(jnp.float32) / 255.0, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
+
+    base = np.asarray(encode_image_int8_u8(qv, imgs_u8, cfg, attn_impl="xla",
+                                           gemm_impl="static3d_qi",
+                                           interpret=True))
+    patches = patch_pixels(imgs_u8, cfg, compute_dtype=jnp.uint8)
+    got = np.asarray(encode_image_int8_patches(qv, patches, cfg,
+                                               attn_impl="xla",
+                                               gemm_impl="static3d_qi",
+                                               interpret=True))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_rowsum_mxu_matches_reduce(rng):
     """TEAM_QI_ROWSUM=mxu rides the softmax denominator on the PV dot as an
     extra ones-column and normalizes the [S, dh] output — numerically the
