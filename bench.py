@@ -124,6 +124,27 @@ def main() -> None:
         _log(f"int8 static3d_qi tower: {ips_q:.0f} img/s (cosine >= 0.999 vs "
              "bf16, tests/test_int8.py + scripts/int8_validate.py)")
         ips = max(ips, ips_q)
+
+        # patch-major uint8 ingest (round 4): the native loader ships the ViT
+        # patch-pixel layout directly (load_batch_u8_patches — same bytes,
+        # free on the host), so the device does ZERO spatial reorder and
+        # /255+normalize folds into the patch dot prologue. +~80 img/s over
+        # image-major (docs/BENCH.md ingest audit); byte/bitwise equivalence
+        # tested in tests/test_data.py + tests/test_int8.py.
+        from team_tpu.backbone.clip import patch_pixels
+        from team_tpu.backbone.quant import encode_image_int8_patches
+
+        xs_p = jax.jit(jax.vmap(
+            lambda im: patch_pixels(im, cfg, compute_dtype=jnp.uint8)))(xs)
+        _fence(xs_p)  # materialize before timing
+
+        def enc_int8_p(q, px_u8):
+            return encode_image_int8_patches(q, px_u8, cfg, attn_impl="auto",
+                                             gemm_impl="static3d_qi")
+
+        ips_qp = bench_scanned(enc_int8_p, qv, xs_p, batch_size)
+        _log(f"int8 static3d_qi tower (patch-major ingest): {ips_qp:.0f} img/s")
+        ips = max(ips, ips_qp)
     except Exception as e:  # pragma: no cover — int8 path must never kill the bench
         _log(f"int8 tower skipped: {e}")
 

@@ -60,7 +60,40 @@ def main():
         compute_dtype=jnp.bfloat16, attn_impl="auto"))
     ref = np.asarray(f_bf16(params, xs[1]))
 
+    xs_patches = None
+    if any(v in ("qip", "qipd") for v in which):
+        from team_tpu.backbone.clip import patch_pixels
+
+        xs_patches = jax.jit(jax.vmap(
+            lambda im: patch_pixels(im, cfg, compute_dtype=jnp.uint8)))(xs)
+        float(jnp.sum(xs_patches[..., 0].astype(jnp.int32)))  # materialize
+
     for v in which:
+        data = xs
+        if v in ("qip", "qipd"):
+            # patch-major uint8 ingest (native load_batch_u8_patches layout);
+            # qipd additionally runs the u8-exact int8 patch dot
+            from team_tpu.backbone.quant import encode_image_int8_patches
+
+            if v == "qipd":
+                os.environ["TEAM_PATCH_DOT"] = "int8"
+            else:
+                os.environ.pop("TEAM_PATCH_DOT", None)
+            data = xs_patches
+
+            def enc(q, px_u8):
+                return encode_image_int8_patches(q, px_u8, cfg,
+                                                 attn_impl="auto",
+                                                 gemm_impl="static3d_qi")
+
+            got = np.asarray(jax.jit(enc)(qv, data[1]))
+            cos = (ref * got).sum(-1) / (np.linalg.norm(ref, axis=-1)
+                                         * np.linalg.norm(got, axis=-1))
+            ips = bench_scanned(enc, qv, data, batch)
+            print(f"B={batch} {v}: {ips:.0f} img/s  "
+                  f"cos(held-out) min={cos.min():.6f} mean={cos.mean():.6f}",
+                  flush=True)
+            continue
         if v == "qiu8":
             # uint8-native ingest: transpose on u8, normalize folded into the
             # patch dot prologue (bit-identical, tested)

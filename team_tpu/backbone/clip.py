@@ -301,6 +301,26 @@ def encode_image(params: Params, images: jax.Array, cfg: CLIPConfig, *,
                                attn_impl=attn_impl, seq_pad=seq_pad)
 
 
+def encode_image_patches_u8(params: Params, patches_u8: jax.Array,
+                            cfg: CLIPConfig, *, compute_dtype=jnp.float32,
+                            attn_impl: str = "auto",
+                            seq_pad: bool | None = None) -> jax.Array:
+    """bf16/f32 image tower over PATCH-MAJOR uint8 input ``[B, g*g, 3*ps*ps]``
+    (the native loader's ``load_batch_u8_patches`` layout, element order =
+    :func:`patch_pixels`). /255 + CLIP-normalize fold into the patch dot's
+    prologue as per-column scale/bias — the device does zero spatial reorder
+    (the [H, W, 3] minor-dim-3 layout is lane-hostile on TPU; docs/BENCH.md
+    round 4 ingest audit). Same math as ``preprocess_batch`` + patchify."""
+    from team_tpu.ops.preprocess import patch_norm_consts
+
+    assert patches_u8.dtype == jnp.uint8
+    scale, bias = patch_norm_consts(cfg.vision.patch_size)
+    px = (patches_u8.astype(jnp.float32) * scale + bias).astype(compute_dtype)
+    tokens = px @ params["vision"]["patch_w"].astype(compute_dtype)
+    return encode_from_patches(params, tokens, cfg, compute_dtype=compute_dtype,
+                               attn_impl=attn_impl, seq_pad=seq_pad)
+
+
 def encode_text(params: Params, tokens: jax.Array, cfg: CLIPConfig, *,
                 compute_dtype=jnp.float32, attn_impl: str = "auto") -> jax.Array:
     """Text tower: ``[B, 77]`` int tokens -> ``[B, embed_dim]`` (eot pooling)."""

@@ -244,9 +244,30 @@ def calibrate_vision_tower(params: Params, images: jax.Array, cfg: CLIPConfig,
     of the calibration batch (this forward IS the bf16 tower) — the cosine
     gate then needs no separate bf16 encode graph, which on the axon tunnel
     costs minutes of per-run warm-start (docs/BENCH.md round 3)."""
+    px = patch_pixels(images, cfg, compute_dtype=jnp.bfloat16)
+    return _calibrate_from_px(params, px, cfg, attn_impl=attn_impl,
+                              return_features=return_features)
+
+
+def calibrate_vision_tower_patches(params: Params, patches_u8: jax.Array,
+                                   cfg: CLIPConfig, *, attn_impl: str = "auto",
+                                   return_features: bool = False):
+    """Calibration entry for PATCH-MAJOR uint8 batches (the native loader's
+    ``load_batch_u8_patches`` layout): /255 + CLIP-normalize fold in as
+    per-column scale/bias, then the same calibration forward as
+    :func:`calibrate_vision_tower` (identical math to within bf16 rounding —
+    the runtime's held-out cosine gate still applies either way)."""
+    assert patches_u8.dtype == jnp.uint8
+    scale, bias = _patch_norm_consts(cfg)
+    px = (patches_u8.astype(jnp.float32) * scale + bias).astype(jnp.bfloat16)
+    return _calibrate_from_px(params, px, cfg, attn_impl=attn_impl,
+                              return_features=return_features)
+
+
+def _calibrate_from_px(params: Params, px: jax.Array, cfg: CLIPConfig, *,
+                       attn_impl: str, return_features: bool):
     v = cfg.vision
     compute_dtype = jnp.bfloat16
-    px = patch_pixels(images, cfg, compute_dtype=compute_dtype)
     a_patch = jnp.max(jnp.abs(px.astype(jnp.float32)), axis=(0, 1))
     vis = params["vision"]
     tokens = px @ vis["patch_w"].astype(compute_dtype)
@@ -355,10 +376,34 @@ def quantize_vision_tower_static(params: Params, calib_stats,
         "proj": v["proj"],
     }
     # NOTE: patch_in stats are recorded but the int8 patch-embed site is NOT
-    # built — the routed version measured 4899 vs 4964 img/s (see
-    # encode_image_int8); del quiets the unused-variable intent explicitly
+    # routed for float-image ingest — the routed version measured 4899 vs
+    # 4964 img/s (the pixel quantize broke the preprocess->patch-dot fusion;
+    # see encode_image_int8). For PATCH-MAJOR uint8 ingest the input is
+    # integer already, so the u8-exact patch dot below has no activation
+    # quantization error at all and no fusion to break (TEAM_PATCH_DOT=int8).
     del patch_in
+    out["patch_q"] = _quantize_patch_dot(v["patch_w"])
     return out
+
+
+def _quantize_patch_dot(patch_w: jax.Array) -> Dict[str, Any]:
+    """u8-EXACT int8 patch embedding for patch-major uint8 ingest.
+
+    ``tokens = (u8*scale + bias) @ W`` with per-column normalize constants
+    rewrites as ``(u8-128) @ (scale⊙W) + [128·colsum(scale⊙W) + bias@W]``:
+    the centered input is exactly representable in int8 (zero activation
+    quantization error — only the per-output-channel weight quantize is
+    lossy), so the patch dot runs as a native int8×int8→int32 MXU
+    contraction with an f32 scale+const epilogue."""
+    from team_tpu.ops.preprocess import patch_norm_consts
+
+    ps = int(round((patch_w.shape[0] // 3) ** 0.5))
+    scale, bias = patch_norm_consts(ps)
+    w32 = patch_w.astype(jnp.float32)
+    a = w32 * scale[:, None]
+    w_q, w_s = quantize_weight(a)                      # [K,N], [1,N]
+    const = 128.0 * jnp.sum(a, axis=0) + bias @ w32    # [N]
+    return {"w_q": w_q, "scale": w_s, "const": const[None, :]}
 
 
 def _static_quant(x2d: jax.Array, inv_a: jax.Array) -> jax.Array:
@@ -823,13 +868,9 @@ def encode_image_int8_u8(
 
 
 def _patch_norm_consts(cfg: CLIPConfig):
-    from team_tpu.ops.preprocess import CLIP_MEAN, CLIP_STD
+    from team_tpu.ops.preprocess import patch_norm_consts
 
-    ps2 = cfg.vision.patch_size * cfg.vision.patch_size
-    mean = jnp.repeat(jnp.asarray(CLIP_MEAN, jnp.float32), ps2)
-    std = jnp.repeat(jnp.asarray(CLIP_STD, jnp.float32), ps2)
-    return ((1.0 / (255.0 * std)).astype(jnp.float32),
-            (-mean / std).astype(jnp.float32))
+    return patch_norm_consts(cfg.vision.patch_size)
 
 
 def encode_image_int8_patches(
@@ -851,11 +892,25 @@ def encode_image_int8_patches(
     per-channel, so it commutes with the host-side reorder). The image-major
     [H, W, 3] layout's minor-dim-3 reorder cost (~0.35 ms/batch,
     `scripts/r4_patch_ingest_probe.py`: 6387 vs 6304 img/s) disappears.
-    Numerically identical f32 math to ``preprocess_batch`` + patchify."""
+    Numerically identical f32 math to ``preprocess_batch`` + patchify.
+
+    ``TEAM_PATCH_DOT=int8`` (trace-time knob) additionally runs the patch
+    embedding itself as a u8-exact int8 MXU dot (:func:`_quantize_patch_dot`
+    — zero activation quantization error; weight-quant error only)."""
     assert patches_u8.dtype == jnp.uint8
-    scale, bias = _patch_norm_consts(cfg)
-    px = (patches_u8.astype(jnp.float32) * scale + bias).astype(jnp.bfloat16)
-    tokens = px @ qvision["patch_w"].astype(jnp.bfloat16)
+    if (_os.environ.get("TEAM_PATCH_DOT", "bf16") == "int8"
+            and "patch_q" in qvision):
+        pq = qvision["patch_q"]
+        x_i8 = (patches_u8.astype(jnp.int32) - 128).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_i8, pq["w_q"], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        tokens = (acc.astype(jnp.float32) * pq["scale"]
+                  + pq["const"]).astype(jnp.bfloat16)
+    else:
+        scale, bias = _patch_norm_consts(cfg)
+        px = (patches_u8.astype(jnp.float32) * scale + bias).astype(jnp.bfloat16)
+        tokens = px @ qvision["patch_w"].astype(jnp.bfloat16)
     return _encode_tokens_int8(qvision, tokens, cfg, attn_impl=attn_impl,
                                gemm_impl=gemm_impl, interpret=interpret,
                                seq_pad=seq_pad)

@@ -28,6 +28,16 @@ def _load_image(item) -> Image.Image:
     return Image.fromarray(np.asarray(item))
 
 
+def _np_patch_pixels(imgs_u8: np.ndarray, patch_size: int) -> np.ndarray:
+    """``[B, H, W, 3] u8`` -> ``[B, g*g, 3*ps*ps] u8`` in the torch-conv
+    element order — numpy mirror of :func:`team_tpu.backbone.clip.patch_pixels`
+    for the PIL fallback of patch-major loading."""
+    b, h, w, _ = imgs_u8.shape
+    g, ps = h // patch_size, patch_size
+    x = imgs_u8.reshape(b, g, ps, g, ps, 3).transpose(0, 1, 3, 5, 2, 4)
+    return np.ascontiguousarray(x.reshape(b, g * g, 3 * ps * ps))
+
+
 class ArrayLoader:
     """Iterates a :class:`TeamDataset` in batches of numpy arrays.
 
@@ -41,7 +51,8 @@ class ArrayLoader:
                  prefetch: int = 2, drop_last: bool = False, use_native: bool = False,
                  augment_ops=None, pad_last: bool = False,
                  indices: Optional[np.ndarray] = None,
-                 device_normalize: bool = False):
+                 device_normalize: bool = False,
+                 patch_major: bool = False, patch_size: int = 16):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -78,6 +89,14 @@ class ArrayLoader:
             and (dataset.mode in ("test", "flip")
                  or (dataset.mode == "train" and dataset.deterministic_train))
         )
+        # patch_major: uint8 batches ship in the ViT patch-pixel layout
+        # [B, grid^2, 3*ps^2] (native load_batch_u8_patches, or a free numpy
+        # reorder on the PIL fallback) so the device does ZERO spatial
+        # reorder — the [H, W, 3] minor-dim-3 layout is lane-hostile on TPU
+        # (docs/BENCH.md round-4 ingest audit). Only meaningful with
+        # device_normalize (float batches stay image-major).
+        self._patch_major = bool(patch_major and self._device_normalize)
+        self.patch_size = patch_size
 
     def __len__(self) -> int:
         n = len(self.dataset) if self.indices is None else len(self.indices)
@@ -118,9 +137,14 @@ class ArrayLoader:
 
             flips = (np.ones(len(idxs), np.uint8) if self.dataset.mode == "flip"
                      else np.zeros(len(idxs), np.uint8))
-            loader_fn = native_io.load_batch_u8 if self._device_normalize else native_io.load_batch
-            imgs, ok = loader_fn([str(p) for p in items], self.image_size,
-                                 hflip=flips, n_threads=self.num_threads)
+            if self._patch_major:
+                imgs, ok = native_io.load_batch_u8_patches(
+                    [str(p) for p in items], self.image_size, self.patch_size,
+                    hflip=flips, n_threads=self.num_threads)
+            else:
+                loader_fn = native_io.load_batch_u8 if self._device_normalize else native_io.load_batch
+                imgs, ok = loader_fn([str(p) for p in items], self.image_size,
+                                     hflip=flips, n_threads=self.num_threads)
             if ok.all():
                 return batch_dict(imgs)
             # fall through to the PIL path on any decode failure
@@ -138,6 +162,8 @@ class ArrayLoader:
                 return np.asarray(img, dtype=np.uint8)
 
             imgs = np.stack(list(pool.map(to_u8, items)))
+            if self._patch_major:
+                imgs = _np_patch_pixels(imgs, self.patch_size)
             return batch_dict(imgs)
         rngs = [np.random.default_rng(rng.integers(0, 2 ** 31)) for _ in idxs] if rng else [None] * len(idxs)
 

@@ -80,6 +80,19 @@ class BackboneRuntime:
 
         self._encode_image_u8 = jax.jit(_encode_u8)
 
+        def _encode_pu8(params, patches_u8):
+            # patch-major uint8 ingest (native load_batch_u8_patches layout):
+            # zero device-side spatial reorder; normalize folds into the
+            # patch dot prologue (docs/BENCH.md round-4 ingest audit)
+            from team_tpu.backbone.clip import encode_image_patches_u8
+
+            return encode_image_patches_u8(params, patches_u8,
+                                           cfg=self.clip_cfg,
+                                           compute_dtype=self.compute_dtype,
+                                           attn_impl=self.attn_impl)
+
+        self._encode_image_pu8 = jax.jit(_encode_pu8)
+
         # int8 static-W8A8 encode tier (cfg.encoder_quant="int8_static"):
         # calibrated lazily on the first batch, gated by a one-time cosine
         # check vs the bf16 tower (>= 0.999 or it falls back). Replaces the
@@ -119,6 +132,16 @@ class BackboneRuntime:
 
         self._encode_int8_u8 = jax.jit(_encode_int8_u8)
 
+        def _encode_int8_pu8(qv, patches_u8):
+            from team_tpu.backbone.quant import encode_image_int8_patches
+
+            return encode_image_int8_patches(qv, patches_u8, self.clip_cfg,
+                                             attn_impl=self.attn_impl,
+                                             gemm_impl=self._int8_impl)
+
+        self._encode_int8_pu8 = jax.jit(_encode_int8_pu8)
+        self._calib_patches_jit = None
+
     def _calib_forward(self, x: jnp.ndarray):
         """Calibration forward == the bf16 tower (stats + features in one
         graph); also serves as the bf16 encode while the gate is pending —
@@ -132,6 +155,24 @@ class BackboneRuntime:
                 return_features=True))
         return self._calib_jit(self.params, x)
 
+    def _calib_forward_patches(self, patches_u8: jnp.ndarray):
+        """Calibration forward over a PATCH-MAJOR uint8 batch — in a
+        patch-major run this is the only bf16 tower graph ever built (each
+        unique tower graph costs minutes of per-run warm-start on the axon
+        tunnel, so the image-major graphs must never be touched here)."""
+        from team_tpu.backbone.quant import calibrate_vision_tower_patches
+
+        if self._calib_patches_jit is None:
+            self._calib_patches_jit = jax.jit(
+                lambda p, px: calibrate_vision_tower_patches(
+                    p, px, self.clip_cfg, attn_impl=self.attn_impl,
+                    return_features=True))
+        return self._calib_patches_jit(self.params, patches_u8)
+
+    @staticmethod
+    def _is_patch_major(images: jnp.ndarray) -> bool:
+        return images.ndim == 3 and images.dtype == jnp.uint8
+
     def _calibrate_int8(self, images: jnp.ndarray) -> jnp.ndarray:
         """Calibrate the static-W8A8 tower on this batch and return the
         batch's bf16 features. The cosine gate is DEFERRED to the next encode
@@ -141,9 +182,12 @@ class BackboneRuntime:
         be detected)."""
         from team_tpu.backbone.quant import quantize_vision_tower_static
 
-        is_u8 = images.dtype == jnp.uint8
-        x = self._preprocess(images) if is_u8 else images
-        calib, ref = self._calib_forward(x)
+        if self._is_patch_major(images):
+            calib, ref = self._calib_forward_patches(images)
+        else:
+            is_u8 = images.dtype == jnp.uint8
+            x = self._preprocess(images) if is_u8 else images
+            calib, ref = self._calib_forward(x)
         if jax.process_count() > 1:
             # multi-host: every process must build the IDENTICAL quantized
             # tower (ADVICE r3: per-host local calibration could diverge).
@@ -162,12 +206,16 @@ class BackboneRuntime:
     def _gate_int8(self, images: jnp.ndarray) -> jnp.ndarray:
         """Held-out cosine gate: compare the candidate quantized tower vs the
         bf16 tower on THIS (non-calibration) batch; commit or fall back."""
-        is_u8 = images.dtype == jnp.uint8
-        x = self._preprocess(images) if is_u8 else images
-        _, ref = self._calib_forward(x)
         qv = self._qvision_pending
-        feats = (self._encode_int8_u8(qv, images) if is_u8
-                 else self._encode_int8(qv, images))
+        if self._is_patch_major(images):
+            _, ref = self._calib_forward_patches(images)
+            feats = self._encode_int8_pu8(qv, images)
+        else:
+            is_u8 = images.dtype == jnp.uint8
+            x = self._preprocess(images) if is_u8 else images
+            _, ref = self._calib_forward(x)
+            feats = (self._encode_int8_u8(qv, images) if is_u8
+                     else self._encode_int8(qv, images))
         a = np.asarray(ref, np.float64)
         b = np.asarray(feats, np.float64)
         cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
@@ -220,12 +268,16 @@ class BackboneRuntime:
             if self._qvision is None and self._qvision_pending is None:
                 self._try_load_int8_cache()
             if self._qvision is not None:
+                if self._is_patch_major(images):
+                    return self._encode_int8_pu8(self._qvision, images)
                 if images.dtype == jnp.uint8:
                     return self._encode_int8_u8(self._qvision, images)
                 return self._encode_int8(self._qvision, images)
             if self._qvision_pending is None:
                 return self._calibrate_int8(images)
             return self._gate_int8(images)
+        if self._is_patch_major(images):
+            return self._encode_image_pu8(self.params, images)
         if images.dtype == jnp.uint8:
             return self._encode_image_u8(self.params, images)
         return self._encode_image(self.params, images)

@@ -107,6 +107,13 @@ class BaseLearner:
             pad_last=pad_last,
             indices=indices,
             device_normalize=bool(self.cfg.get("device_preprocess", True)),
+            # patch-major uint8 batches (cfg patch_major_io): the loader ships
+            # the ViT patch-pixel layout so the device does zero spatial
+            # reorder (docs/BENCH.md round-4 ingest audit). BackboneRuntime
+            # routes [B, g^2, 3*ps^2] u8 through the *_patches encode tiers.
+            patch_major=bool(self.cfg.get("patch_major_io", False)),
+            patch_size=(self.backbone.clip_cfg.vision.patch_size
+                        if getattr(self, "backbone", None) is not None else 16),
         )
 
     # ------------------------------------------------------------------

@@ -44,6 +44,19 @@ def preprocess_batch(images_u8: jax.Array, image_size: int = 224, flip: bool = F
     return (x - mean) / std
 
 
+def patch_norm_consts(patch_size: int):
+    """Per-column (scale, bias) f32 vectors of length ``3·ps²`` such that
+    ``u8 * scale + bias == (u8/255 - CLIP_MEAN)/CLIP_STD`` in the patch-pixel
+    column order (channel-major inner layout of
+    :func:`team_tpu.backbone.clip.patch_pixels`) — the device-side normalize
+    for patch-major uint8 ingest, folding into the patch dot's prologue."""
+    ps2 = patch_size * patch_size
+    mean = jnp.repeat(jnp.asarray(CLIP_MEAN, jnp.float32), ps2)
+    std = jnp.repeat(jnp.asarray(CLIP_STD, jnp.float32), ps2)
+    return ((1.0 / (255.0 * std)).astype(jnp.float32),
+            (-mean / std).astype(jnp.float32))
+
+
 def _normalize_kernel(x_ref, o_ref):
     # channel constants inlined as python scalars (pallas rejects captured arrays)
     x = x_ref[...].astype(jnp.float32) * (1.0 / 255.0)

@@ -405,6 +405,46 @@ def test_backbone_runtime_int8_static_encoder():
     assert f_u8.shape == (4, rt_q.out_dim)
 
 
+def test_backbone_runtime_patch_major_routing():
+    """BackboneRuntime routes [B, g^2, 3*ps^2] uint8 (the patch-major loader
+    layout) through the *_patches tiers: bf16 tower matches the image-major
+    u8 path, and the int8_static tier calibrates, gates (held-out) and
+    commits entirely on patch-major batches."""
+    from team_tpu.backbone.clip import patch_pixels
+    from team_tpu.config import Config
+    from team_tpu.learners.backbone_runtime import BackboneRuntime
+
+    rng = np.random.default_rng(0)
+    cfg_b = Config(compute_dtype="bfloat16", extras={"tiny_backbone": True})
+    rt = BackboneRuntime(cfg_b)
+    sz = rt.clip_cfg.vision.image_size
+    u8 = jnp.asarray(rng.integers(0, 256, (4, sz, sz, 3), dtype=np.uint8))
+    pat = patch_pixels(u8, rt.clip_cfg, compute_dtype=jnp.uint8)
+    a = np.asarray(rt.encode_image(u8), np.float64)
+    b = np.asarray(rt.encode_image(pat), np.float64)
+    # (x/255 - mean)/std vs x*scale + bias: same math, different f32 op
+    # order before the bf16 cast — cosine-identical, not bitwise
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1))
+    assert cos.min() >= 0.9999, cos
+
+    cfg_q = Config(encoder_quant="int8_static", compute_dtype="bfloat16",
+                   extras={"tiny_backbone": True})
+    rt_q = BackboneRuntime(cfg_q)
+    held = jnp.asarray(rng.integers(0, 256, (4, sz, sz, 3), dtype=np.uint8))
+    pat_held = patch_pixels(held, rt_q.clip_cfg, compute_dtype=jnp.uint8)
+    f1 = rt_q.encode_image(pat)            # calibrates on patch-major
+    assert rt_q._qvision_pending is not None
+    np.testing.assert_allclose(np.asarray(f1, np.float64), b, rtol=2e-2,
+                               atol=2e-2)  # bf16 calib forward == bf16 tower
+    rt_q.encode_image(pat_held)            # held-out gate, patch-major
+    assert rt_q._qvision is not None and rt_q._qvision_pending is None
+    fq = np.asarray(rt_q.encode_image(pat), np.float64)
+    cos_q = (fq * b).sum(-1) / (np.linalg.norm(fq, axis=-1)
+                                * np.linalg.norm(b, axis=-1))
+    assert cos_q.min() >= 0.999, cos_q
+
+
 def test_int8_tower_cache_skips_calibration(tmp_path):
     """int8_cache_dir: a run that passes the held-out gate persists the
     validated quantized tower; a later runtime loads it and encodes int8 from

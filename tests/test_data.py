@@ -293,6 +293,40 @@ def test_backbone_runtime_accepts_uint8(rng):
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_loader_patch_major_layouts(tmp_path, rng):
+    """patch_major: uint8 batches ship in the ViT patch-pixel layout
+    [B, g^2, 3*ps^2] — native and PIL-fallback loaders both, bytes equal to
+    the numpy reorder of the image-major u8 batch."""
+    from team_tpu.data.loader import _np_patch_pixels
+
+    root = _write_nested_dataset(str(tmp_path), rng, per_stage=4)
+    dm = DataManager("iiminsects202", shuffle=False, seed=0, init_cls=2,
+                     increment=1, data_root=root)
+    ds = dm.get_multimodal_dataset(np.arange(0, 2), source="test", mode="test")
+    for use_native in (False, True):
+        if use_native:
+            from team_tpu.data import native_io
+
+            if not native_io.available():
+                pytest.skip("native team_io not built")
+        img_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
+                            use_native=use_native, device_normalize=True)
+        pat_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
+                            use_native=use_native, device_normalize=True,
+                            patch_major=True, patch_size=16)
+        bi = next(iter(img_l))
+        bp = next(iter(pat_l))
+        assert bp["image"].shape == (4, 4, 3 * 16 * 16)
+        assert bp["image"].dtype == np.uint8
+        np.testing.assert_array_equal(bp["image"],
+                                      _np_patch_pixels(bi["image"], 16))
+        np.testing.assert_array_equal(bp["label"], bi["label"])
+    # patch_major is inert without device_normalize (float batches stay 4-D)
+    f_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
+                      patch_major=True)
+    assert next(iter(f_l))["image"].ndim == 4
+
+
 def test_laion_data_pairs(tmp_path):
     """LaionData list-file parsing (reference data_manager.py:366-389)."""
     from team_tpu.data.datasets import LaionData

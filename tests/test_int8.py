@@ -291,6 +291,53 @@ def test_encode_image_int8_patches_matches_image_path(rng):
     np.testing.assert_array_equal(got, base)
 
 
+def test_patch_dot_int8_u8_exact(rng):
+    """TEAM_PATCH_DOT=int8: the u8-exact int8 patch embedding ((u8-128) @
+    scale-folded weight + const) has NO activation quantization error — only
+    the per-output-channel weight quantize — so tower outputs stay
+    cosine-equivalent to the bf16 patch dot."""
+    import os
+
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params, patch_pixels
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8_patches,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs_u8 = jnp.asarray(
+        np.asarray(rng.integers(0, 256, (4, sz, sz, 3))).astype(np.uint8))
+    calib = calibrate_vision_tower(
+        params, imgs_u8.astype(jnp.float32) / 255.0, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
+    patches = patch_pixels(imgs_u8, cfg, compute_dtype=jnp.uint8)
+
+    base = np.asarray(encode_image_int8_patches(
+        qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi"),
+        np.float64)
+    os.environ["TEAM_PATCH_DOT"] = "int8"
+    try:
+        got = np.asarray(encode_image_int8_patches(
+            qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi"),
+            np.float64)
+    finally:
+        del os.environ["TEAM_PATCH_DOT"]
+    cos = (base * got).sum(-1) / (np.linalg.norm(base, axis=-1)
+                                  * np.linalg.norm(got, axis=-1))
+    assert cos.min() >= 0.999, cos
+
+    # payloads WITHOUT patch_q (older caches) fall back to the bf16 dot
+    qv_old = {k: v for k, v in qv.items() if k != "patch_q"}
+    os.environ["TEAM_PATCH_DOT"] = "int8"
+    try:
+        old = np.asarray(encode_image_int8_patches(
+            qv_old, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi"))
+    finally:
+        del os.environ["TEAM_PATCH_DOT"]
+    np.testing.assert_array_equal(old, base.astype(old.dtype))
+
+
 def test_rowsum_mxu_matches_reduce(rng):
     """TEAM_QI_ROWSUM=mxu rides the softmax denominator on the PV dot as an
     extra ones-column and normalizes the [S, dh] output — numerically the
