@@ -2,7 +2,7 @@
 
 The profile shows ~1.6 ms/batch of ingest (preprocess + patch reorder) vs a
 ~0.25 ms floor — the [B,224,224,3] minor-dim-3 layout is lane-hostile. If
-the native loader emitted patches ([B, 196, 588] u8, same bytes — the C++
+the native loader emitted patches ([B, 196, 768] u8, same bytes — the C++
 resampler writes every pixel anyway, so patch-major offsets are free on the
 host), the device would do ZERO reorder: normalize folds into the patch
 dot's prologue as per-column scale/bias (u8-ingest machinery,
@@ -11,7 +11,7 @@ quant.py:encode_image_int8_u8).
 Variants, all from device-resident u8, scanned 16 batches in one dispatch:
   image   — production bench path (preprocess_batch + encode_image_int8)
   u8      — encode_image_int8_u8 ([B,224,224,3] u8, reorder on u8)
-  patches — patch-major [B,196,588] u8 straight into the scale/bias + dot
+  patches — patch-major [B,196,768] u8 straight into the scale/bias + dot
 """
 
 from __future__ import annotations

@@ -44,14 +44,32 @@ def main():
         p, im, cfg, attn_impl="auto"))(params, calib_imgs)
     qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
 
-    @jax.jit
-    def run(q, xs):
-        def body(c, x):
-            im = preprocess_batch(x, cfg.vision.image_size)
-            return c, encode_image_int8(q, im, cfg, attn_impl="auto",
-                                        gemm_impl=impl)
-        _, outs = jax.lax.scan(body, None, xs)
-        return outs
+    if os.environ.get("INGEST", "image") == "patches":
+        # production patch-major ingest (round 4): profile the exact
+        # bench.py headline graph
+        from team_tpu.backbone.clip import patch_pixels
+        from team_tpu.backbone.quant import encode_image_int8_patches
+
+        xs = jax.jit(jax.vmap(
+            lambda im: patch_pixels(im, cfg, compute_dtype=jnp.uint8)))(xs)
+        float(jnp.sum(xs[..., 0].astype(jnp.int32)))
+
+        @jax.jit
+        def run(q, xs):
+            def body(c, px):
+                return c, encode_image_int8_patches(
+                    q, px, cfg, attn_impl="auto", gemm_impl=impl)
+            _, outs = jax.lax.scan(body, None, xs)
+            return outs
+    else:
+        @jax.jit
+        def run(q, xs):
+            def body(c, x):
+                im = preprocess_batch(x, cfg.vision.image_size)
+                return c, encode_image_int8(q, im, cfg, attn_impl="auto",
+                                            gemm_impl=impl)
+            _, outs = jax.lax.scan(body, None, xs)
+            return outs
 
     float(jnp.sum(run(qv, xs)[..., 0]))  # compile + warm
     with jax.profiler.trace(out_dir):

@@ -75,10 +75,9 @@ def main():
             # qipd additionally runs the u8-exact int8 patch dot
             from team_tpu.backbone.quant import encode_image_int8_patches
 
-            if v == "qipd":
-                os.environ["TEAM_PATCH_DOT"] = "int8"
-            else:
-                os.environ.pop("TEAM_PATCH_DOT", None)
+            # qip pins the bf16 patch dot; qipd the u8-exact int8 dot
+            # (the production default is int8, so qip must pin explicitly)
+            os.environ["TEAM_PATCH_DOT"] = "int8" if v == "qipd" else "bf16"
             data = xs_patches
 
             def enc(q, px_u8):

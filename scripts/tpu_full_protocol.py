@@ -22,7 +22,10 @@ def main():
         compute_dtype="bfloat16", log_dir="/tmp/team_tpu_full_logs",
         encoder_quant=os.environ.get("TEAM_ENCODER_QUANT", "bf16"),
         extras={"dataset_kwargs": {"num_classes": 20, "img_size": 224,
-                                   "train_per_stage": 16, "test_per_stage": 4}},
+                                   "train_per_stage": 16, "test_per_stage": 4},
+                # patch-major uint8 ingest (round 4): loaders ship the ViT
+                # patch-pixel layout, the device does zero spatial reorder
+                "patch_major_io": os.environ.get("TEAM_PATCH_MAJOR", "1") == "1"},
     )
     t0 = time.time()
     res = train(cfg)

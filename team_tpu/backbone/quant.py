@@ -882,6 +882,7 @@ def encode_image_int8_patches(
     gemm_impl: str = "xla",
     interpret: bool = False,
     seq_pad: bool | None = None,
+    patch_dot: str | None = None,
 ) -> jax.Array:
     """Patch-major uint8 ingest: ``[B, grid², 3·ps²] u8`` (the native
     loader's ``load_batch_u8_patches`` layout, element order =
@@ -894,12 +895,17 @@ def encode_image_int8_patches(
     `scripts/r4_patch_ingest_probe.py`: 6387 vs 6304 img/s) disappears.
     Numerically identical f32 math to ``preprocess_batch`` + patchify.
 
-    ``TEAM_PATCH_DOT=int8`` (trace-time knob) additionally runs the patch
-    embedding itself as a u8-exact int8 MXU dot (:func:`_quantize_patch_dot`
-    — zero activation quantization error; weight-quant error only)."""
+    ``patch_dot`` (default env ``TEAM_PATCH_DOT``, production default
+    ``int8``) selects the patch embedding engine: ``int8`` runs it as a
+    u8-exact int8 MXU dot (:func:`_quantize_patch_dot` — zero activation
+    quantization error, weight-quant error only; measured 6388 vs 6328
+    bf16 img/s, cosine gate unchanged), ``bf16`` keeps the bf16 dot
+    (bitwise-identical to the image-major u8 entry; also the automatic
+    fallback for payloads saved before ``patch_q`` existed)."""
     assert patches_u8.dtype == jnp.uint8
-    if (_os.environ.get("TEAM_PATCH_DOT", "bf16") == "int8"
-            and "patch_q" in qvision):
+    if patch_dot is None:
+        patch_dot = _os.environ.get("TEAM_PATCH_DOT", "int8")
+    if patch_dot == "int8" and "patch_q" in qvision:
         pq = qvision["patch_q"]
         x_i8 = (patches_u8.astype(jnp.int32) - 128).astype(jnp.int8)
         acc = jax.lax.dot_general(

@@ -287,7 +287,8 @@ def test_encode_image_int8_patches_matches_image_path(rng):
     got = np.asarray(encode_image_int8_patches(qv, patches, cfg,
                                                attn_impl="xla",
                                                gemm_impl="static3d_qi",
-                                               interpret=True))
+                                               interpret=True,
+                                               patch_dot="bf16"))
     np.testing.assert_array_equal(got, base)
 
 
@@ -296,8 +297,6 @@ def test_patch_dot_int8_u8_exact(rng):
     scale-folded weight + const) has NO activation quantization error — only
     the per-output-channel weight quantize — so tower outputs stay
     cosine-equivalent to the bf16 patch dot."""
-    import os
-
     from team_tpu.backbone.clip import CLIPConfig, init_clip_params, patch_pixels
     from team_tpu.backbone.quant import (calibrate_vision_tower,
                                          encode_image_int8_patches,
@@ -314,27 +313,21 @@ def test_patch_dot_int8_u8_exact(rng):
     patches = patch_pixels(imgs_u8, cfg, compute_dtype=jnp.uint8)
 
     base = np.asarray(encode_image_int8_patches(
-        qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi"),
-        np.float64)
-    os.environ["TEAM_PATCH_DOT"] = "int8"
-    try:
-        got = np.asarray(encode_image_int8_patches(
-            qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi"),
-            np.float64)
-    finally:
-        del os.environ["TEAM_PATCH_DOT"]
+        qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi",
+        patch_dot="bf16"), np.float64)
+    got = np.asarray(encode_image_int8_patches(
+        qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi",
+        patch_dot="int8"), np.float64)
+    assert not np.array_equal(got, base)  # the engines genuinely differ
     cos = (base * got).sum(-1) / (np.linalg.norm(base, axis=-1)
                                   * np.linalg.norm(got, axis=-1))
     assert cos.min() >= 0.999, cos
 
     # payloads WITHOUT patch_q (older caches) fall back to the bf16 dot
     qv_old = {k: v for k, v in qv.items() if k != "patch_q"}
-    os.environ["TEAM_PATCH_DOT"] = "int8"
-    try:
-        old = np.asarray(encode_image_int8_patches(
-            qv_old, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi"))
-    finally:
-        del os.environ["TEAM_PATCH_DOT"]
+    old = np.asarray(encode_image_int8_patches(
+        qv_old, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi",
+        patch_dot="int8"))
     np.testing.assert_array_equal(old, base.astype(old.dtype))
 
 
