@@ -474,7 +474,16 @@ def _static_linear3(q3: jax.Array, site: Dict[str, Any], activation=None,
     out = (acc.astype(jnp.float32) * site["scale"].reshape(1, 1, -1)
            + site["b"].reshape(1, 1, -1))
     if activation == "gelu":
-        out = jax.nn.gelu(out, approximate=True)
+        # TEAM_GELU (trace-time knob): "tanh" (default, the production
+        # approximation), "sigmoid" (x·σ(1.702x) — fewer VPU ops, error
+        # ~1e-2 absolute vs tanh's ~3e-4; only ships if the cosine gate
+        # holds), "none" (PERF DIAGNOSTIC ONLY — wrong numerics, used to
+        # test whether the fc fusion is epilogue-VPU-bound)
+        mode = _os.environ.get("TEAM_GELU", "tanh")
+        if mode == "sigmoid":
+            out = out * jax.nn.sigmoid(1.702 * out)
+        elif mode != "none":
+            out = jax.nn.gelu(out, approximate=True)
     if quant_inv_a is not None:
         return jnp.clip(jnp.round(out * quant_inv_a.reshape(1, 1, -1)),
                         -127, 127).astype(jnp.int8)

@@ -28,6 +28,22 @@ EPSILON = 1e-8
 EVAL_BATCH = 128
 
 
+def _fetch_concat(dev_arrays):
+    """Concatenate per-batch device arrays ON DEVICE and fetch with ONE host
+    round trip. Every host fetch through the axon tunnel costs ~28 ms
+    regardless of size, so per-batch ``np.asarray`` serializes extraction
+    loops on RTT; one concatenated fetch pays it once (docs/BENCH.md
+    round-4 chain probe). Returns ``(np_array, start_offsets)`` where
+    ``start_offsets[i]`` is the row where input ``i`` begins."""
+    sizes = [int(a.shape[0]) for a in dev_arrays]
+    offs = np.cumsum([0] + sizes[:-1]).tolist() if sizes else []
+    if not dev_arrays:
+        return np.zeros((0, 1), np.float32), offs
+    if len(dev_arrays) == 1:
+        return np.asarray(dev_arrays[0]), offs
+    return np.asarray(jnp.concatenate(dev_arrays, axis=0)), offs
+
+
 class BaseLearner:
     def __init__(self, cfg: Config):
         self.cfg = cfg
@@ -177,13 +193,22 @@ class BaseLearner:
             chunks = []
             if len(rows):
                 loader = self._loader(ds, batch_size=batch_size, indices=rows)
+                # dispatch ALL batches, then fetch ONCE via a device-side
+                # concatenate: every host fetch is a ~28 ms tunnel round
+                # trip, so per-batch fetches serialize the whole extraction
+                # on RTT (docs/BENCH.md round-4 chain probe)
+                pending = []
                 for batch in loader:
                     v = int(batch.get("valid", len(batch["label"])))
-                    feats = np.asarray(self.extract_vector(jnp.asarray(batch["image"])))
+                    pending.append((batch["index"], v,
+                                    self.extract_vector(jnp.asarray(batch["image"]))))
+                stacked, offs = _fetch_concat([f for _, _, f in pending])
+                for (idx, v, _), off in zip(pending, offs):
+                    feats = stacked[off:off + v]
                     if multi:
-                        chunks.append(feats[:v])
+                        chunks.append(feats)
                     else:
-                        for row, f in zip(batch["index"][:v], feats[:v]):
+                        for row, f in zip(idx[:v], feats):
                             cache[keys[int(row)]] = f
             if multi:
                 from team_tpu.parallel.mesh import allgather_host_shards
@@ -199,25 +224,26 @@ class BaseLearner:
         ds = loader.dataset
         if loader.indices is None and self._cacheable(ds):
             return self._cached_features(ds, loader.batch_size), ds.labels
-        vectors, targets = [], []
-        for batch in loader:
-            v = int(batch.get("valid", len(batch["label"])))
-            feats = self.extract_vector(jnp.asarray(batch["image"]))
-            vectors.append(np.asarray(feats)[:v])
-            targets.append(batch["label"][:v])
+        pending = [(int(b.get("valid", len(b["label"]))), b["label"],
+                    self.extract_vector(jnp.asarray(b["image"])))
+                   for b in loader]  # dispatch all batches, then fetch ONCE
+        stacked, offs = _fetch_concat([f for _, _, f in pending])
+        vectors = [stacked[o:o + v] for (v, _, _), o in zip(pending, offs)]
+        targets = [lab[:v] for v, lab, _ in pending]
         return np.concatenate(vectors), np.concatenate(targets)
 
     def _extract_vectors_with_states(self, loader: ArrayLoader):
         ds = loader.dataset
         if loader.indices is None and self._cacheable(ds):
             return self._cached_features(ds, loader.batch_size), ds.labels, ds.stages
-        vectors, targets, states = [], [], []
-        for batch in loader:
-            v = int(batch.get("valid", len(batch["label"])))
-            feats = self.extract_vector(jnp.asarray(batch["image"]))
-            vectors.append(np.asarray(feats)[:v])
-            targets.append(batch["label"][:v])
-            states.append(batch["stage_id"][:v])
+        pending = [(int(b.get("valid", len(b["label"]))), b["label"],
+                    b["stage_id"],
+                    self.extract_vector(jnp.asarray(b["image"])))
+                   for b in loader]  # dispatch all batches, then fetch ONCE
+        stacked, offs = _fetch_concat([f for _, _, _, f in pending])
+        vectors = [stacked[o:o + v] for (v, _, _, _), o in zip(pending, offs)]
+        targets = [lab[:v] for v, lab, _, _ in pending]
+        states = [st[:v] for v, _, st, _ in pending]
         return np.concatenate(vectors), np.concatenate(targets), np.concatenate(states)
 
     # ------------------------------------------------------------------

@@ -263,13 +263,16 @@ class Learner(BaseLearner):
     def _encode_train_fresh(self):
         """One fresh encode pass over the task's train set through the
         persistent stochastic loader (fresh augmentation draws each call)."""
-        feats, labels, stages = [], [], []
-        for batch in self._stoch_loader:
-            v = int(batch.get("valid", len(batch["label"])))
-            f = self.backbone.encode_image(jnp.asarray(batch["image"]))
-            feats.append(np.asarray(f)[:v])
-            labels.append(batch["label"][:v])
-            stages.append(batch["stage_id"][:v])
+        from team_tpu.learners.base import _fetch_concat
+
+        pending = [(int(b.get("valid", len(b["label"]))), b["label"],
+                    b["stage_id"],
+                    self.backbone.encode_image(jnp.asarray(b["image"])))
+                   for b in self._stoch_loader]  # dispatch all, fetch ONCE
+        stacked, offs = _fetch_concat([f for _, _, _, f in pending])
+        feats = [stacked[o:o + v] for (v, _, _, _), o in zip(pending, offs)]
+        labels = [lab[:v] for v, lab, _, _ in pending]
+        stages = [st[:v] for v, _, st, _ in pending]
         return np.concatenate(feats), np.concatenate(labels), np.concatenate(stages)
 
     def _dataset_features(self, ds, normalize: bool = False):
@@ -289,17 +292,21 @@ class Learner(BaseLearner):
             from team_tpu.parallel.mesh import host_shard_indices
 
             rows = host_shard_indices(len(ds))
+        from team_tpu.learners.base import _fetch_concat
+
         loader = self._loader(ds, batch_size=EVAL_BATCH, indices=rows)
-        feats, labels, stages = [], [], []
-        for batch in loader:
+        pending = []
+        for batch in loader:  # dispatch all batches, then fetch ONCE
             v = int(batch.get("valid", len(batch["label"])))
             f = self.backbone.encode_image(jnp.asarray(batch["image"]))
             if normalize:
                 f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
-            feats.append(np.asarray(f)[:v])
-            labels.append(batch["label"][:v])
-            stages.append(batch["stage_id"][:v])
-        feats = np.concatenate(feats)
+            pending.append((v, batch["label"], batch["stage_id"], f))
+        stacked, offs = _fetch_concat([f for _, _, _, f in pending])
+        labels = [lab[:v] for v, lab, _, _ in pending]
+        stages = [st[:v] for v, _, st, _ in pending]
+        feats = np.concatenate(
+            [stacked[o:o + v] for (v, _, _, _), o in zip(pending, offs)])
         labels = np.concatenate(labels)
         stages = np.concatenate(stages)
         if rows is not None:
@@ -587,14 +594,17 @@ class Learner(BaseLearner):
         total = self.data_manager.get_total_classnum()
         if getattr(self, "_zs_feats", None) is None:
             ds = self.data_manager.get_dataset(np.arange(0, total), source="test", mode="test")
+            from team_tpu.learners.base import _fetch_concat
+
             loader = self._loader(ds, batch_size=EVAL_BATCH)
-            feats, labels = [], []
-            for batch in loader:
-                v = int(batch.get("valid", len(batch["label"])))
-                f = self.backbone.encode_image(jnp.asarray(batch["image"]))
-                feats.append(np.asarray(f)[:v])
-                labels.append(batch["label"][:v])
-            self._zs_feats = (np.concatenate(feats), np.concatenate(labels))
+            pending = [(int(b.get("valid", len(b["label"]))), b["label"],
+                        self.backbone.encode_image(jnp.asarray(b["image"])))
+                       for b in loader]  # dispatch all batches, fetch ONCE
+            stacked, offs = _fetch_concat([f for _, _, f in pending])
+            self._zs_feats = (
+                np.concatenate([stacked[o:o + v]
+                                for (v, _, _), o in zip(pending, offs)]),
+                np.concatenate([lab[:v] for v, lab, _ in pending]))
 
         text_features = self._zero_shot_text_features()
         feats, labels = self._zs_feats
@@ -670,20 +680,27 @@ class Learner(BaseLearner):
                     )
                 y_pred.append(preds)
             return np.concatenate(y_pred), labels
+        from team_tpu.learners.base import _fetch_concat
+
         y_pred, y_true = [], []
         tr = self._eval_params()
-        for batch in loader:
+        k = min(self.topk, self._total_classes)
+        pending = []
+        for batch in loader:  # dispatch encode+logits+topk, then fetch ONCE
             v = int(batch.get("valid", len(batch["label"])))
             basic = self.backbone.encode_image(jnp.asarray(batch["image"]))
-            logits = eval_logits(tr, basic, self.ctx)
-            k = min(self.topk, self._total_classes)
-            preds = np.asarray(jax.lax.top_k(logits, k)[1])
+            pending.append((v, batch["label"],
+                            jax.lax.top_k(eval_logits(tr, basic, self.ctx),
+                                          k)[1]))
+        stacked, offs = _fetch_concat([p for _, _, p in pending])
+        for (v, lab, p), o in zip(pending, offs):
+            preds = stacked[o:o + p.shape[0]]
             if k < self.topk:  # pad (reference proof.py:596-600)
                 preds = np.concatenate(
                     [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)], axis=1
                 )
             y_pred.append(preds[:v])
-            y_true.append(batch["label"][:v])
+            y_true.append(lab[:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
 

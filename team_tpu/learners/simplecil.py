@@ -85,20 +85,26 @@ class Learner(BaseLearner):
         return jnp.asarray(mask)
 
     def _eval_cnn(self, loader):
+        from team_tpu.learners.base import _fetch_concat
+
         mask = self._class_mask()
         y_pred, y_true = [], []
-        for batch in loader:
+        k = min(self.topk, self._total_classes)
+        pending = []
+        for batch in loader:  # dispatch all batches, then fetch ONCE
             v = int(batch.get("valid", len(batch["label"])))
             feats = self.extract_vector(jnp.asarray(batch["image"]))
             logits = cosine_linear_forward(self.fc, feats, mask)
-            k = min(self.topk, self._total_classes)
-            preds = np.asarray(jax.lax.top_k(logits, k)[1])
+            pending.append((v, batch["label"], jax.lax.top_k(logits, k)[1]))
+        stacked, offs = _fetch_concat([p for _, _, p in pending])
+        for (v, lab, p), o in zip(pending, offs):
+            preds = stacked[o:o + p.shape[0]]
             if k < self.topk:
                 preds = np.concatenate(
                     [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)], axis=1
                 )
             y_pred.append(preds[:v])
-            y_true.append(batch["label"][:v])
+            y_true.append(lab[:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
     def _compute_accuracy(self, loader) -> float:

@@ -61,21 +61,27 @@ class Learner(BaseLearner):
         return jnp.stack(feats)
 
     def _eval_cnn(self, loader):
+        from team_tpu.learners.base import _fetch_concat
+
         text_features = self._known_text_features()
         y_pred, y_true = [], []
-        for batch in loader:
+        k = min(self.topk, int(text_features.shape[0]))
+        pending = []
+        for batch in loader:  # dispatch all batches, then fetch ONCE
             v = int(batch.get("valid", len(batch["label"])))
             img = self.encode_image(jnp.asarray(batch["image"]))
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             logits = img @ text_features.T
-            k = min(self.topk, logits.shape[1])
-            preds = np.asarray(jax.lax.top_k(logits, k)[1])
+            pending.append((v, batch["label"], jax.lax.top_k(logits, k)[1]))
+        stacked, offs = _fetch_concat([p for _, _, p in pending])
+        for (v, lab, p), o in zip(pending, offs):
+            preds = stacked[o:o + p.shape[0]]
             if k < self.topk:  # pad to a fixed [N, topk] (reference proof.py:596-600)
                 preds = np.concatenate(
                     [preds, np.zeros((preds.shape[0], self.topk - k), dtype=preds.dtype)], axis=1
                 )
             y_pred.append(preds[:v])
-            y_true.append(batch["label"][:v])
+            y_true.append(lab[:v])
         return np.concatenate(y_pred), np.concatenate(y_true)
 
     def _compute_accuracy(self, loader) -> float:
