@@ -90,12 +90,17 @@ class ArrayLoader:
                  or (dataset.mode == "train" and dataset.deterministic_train))
         )
         # patch_major: uint8 batches ship in the ViT patch-pixel layout
-        # [B, grid^2, 3*ps^2] (native load_batch_u8_patches, or a free numpy
-        # reorder on the PIL fallback) so the device does ZERO spatial
-        # reorder — the [H, W, 3] minor-dim-3 layout is lane-hostile on TPU
-        # (docs/BENCH.md round-4 ingest audit). Only meaningful with
-        # device_normalize (float batches stay image-major).
-        self._patch_major = bool(patch_major and self._device_normalize)
+        # [B, grid^2, 3*ps^2] so the device does ZERO spatial reorder — the
+        # [H, W, 3] minor-dim-3 layout is lane-hostile on TPU (docs/BENCH.md
+        # round-4 ingest audit). Only active when the NATIVE loader serves:
+        # the C++ resampler writes every pixel anyway, so patch-major offsets
+        # are free on the host, whereas the numpy reorder of the PIL/array
+        # fallback costs ~97 ms/batch on this 1-core host (measured) — far
+        # more than the ~0.35 ms/batch it saves on device. The numpy reorder
+        # is kept ONLY for per-batch native decode failures, so one run keeps
+        # one layout (one compiled encode graph).
+        self._patch_major = bool(patch_major and self._device_normalize
+                                 and self._native)
         self.patch_size = patch_size
 
     def __len__(self) -> int:

@@ -41,7 +41,15 @@ def _fetch_concat(dev_arrays):
         return np.zeros((0, 1), np.float32), offs
     if len(dev_arrays) == 1:
         return np.asarray(dev_arrays[0]), offs
-    return np.asarray(jnp.concatenate(dev_arrays, axis=0)), offs
+    # pad the arity to a power of two (repeating the last array) so the
+    # eager concatenate compiles O(log N) distinct graphs instead of one per
+    # batch count — every unique graph pays a per-process warm-start through
+    # the tunnel; the pad rows land at the tail, past every real offset
+    n = len(dev_arrays)
+    m = 1 << (n - 1).bit_length()
+    padded = list(dev_arrays) + [dev_arrays[-1]] * (m - n)
+    out = np.asarray(jnp.concatenate(padded, axis=0))
+    return out[: int(np.sum(sizes))] if m > n else out, offs
 
 
 class BaseLearner:

@@ -297,34 +297,39 @@ def test_loader_patch_major_layouts(tmp_path, rng):
     """patch_major: uint8 batches ship in the ViT patch-pixel layout
     [B, g^2, 3*ps^2] — native and PIL-fallback loaders both, bytes equal to
     the numpy reorder of the image-major u8 batch."""
+    from team_tpu.data import native_io
     from team_tpu.data.loader import _np_patch_pixels
 
+    if not native_io.available():
+        pytest.skip("native team_io not built")
     root = _write_nested_dataset(str(tmp_path), rng, per_stage=4)
     dm = DataManager("iiminsects202", shuffle=False, seed=0, init_cls=2,
                      increment=1, data_root=root)
     ds = dm.get_multimodal_dataset(np.arange(0, 2), source="test", mode="test")
-    for use_native in (False, True):
-        if use_native:
-            from team_tpu.data import native_io
-
-            if not native_io.available():
-                pytest.skip("native team_io not built")
-        img_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
-                            use_native=use_native, device_normalize=True)
-        pat_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
-                            use_native=use_native, device_normalize=True,
-                            patch_major=True, patch_size=16)
-        bi = next(iter(img_l))
-        bp = next(iter(pat_l))
-        assert bp["image"].shape == (4, 4, 3 * 16 * 16)
-        assert bp["image"].dtype == np.uint8
-        np.testing.assert_array_equal(bp["image"],
-                                      _np_patch_pixels(bi["image"], 16))
-        np.testing.assert_array_equal(bp["label"], bi["label"])
+    img_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
+                        use_native=True, device_normalize=True)
+    pat_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
+                        use_native=True, device_normalize=True,
+                        patch_major=True, patch_size=16)
+    bi = next(iter(img_l))
+    bp = next(iter(pat_l))
+    assert bp["image"].shape == (4, 4, 3 * 16 * 16)
+    assert bp["image"].dtype == np.uint8
+    np.testing.assert_array_equal(bp["image"],
+                                  _np_patch_pixels(bi["image"], 16))
+    np.testing.assert_array_equal(bp["label"], bi["label"])
     # patch_major is inert without device_normalize (float batches stay 4-D)
     f_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
-                      patch_major=True)
+                      use_native=True, patch_major=True)
     assert next(iter(f_l))["image"].ndim == 4
+    # ... and inert on the PIL/array path: the numpy reorder costs ~97 ms/
+    # batch on the 1-core host, far more than the device reorder it saves —
+    # only the native C++ loader (which writes patch offsets for free)
+    # ships the patch layout
+    pil_l = ArrayLoader(ds, batch_size=4, image_size=32, prefetch=0,
+                        use_native=False, device_normalize=True,
+                        patch_major=True, patch_size=16)
+    assert next(iter(pil_l))["image"].shape == (4, 32, 32, 3)
 
 
 def test_laion_data_pairs(tmp_path):
