@@ -637,6 +637,132 @@ def _qblock_forward_static3d_qi(qb: Dict[str, Any], x: jax.Array, heads: int,
     return x + _static_linear3(g, qb["proj"])
 
 
+def _cls_attn_q3i(qkvq: jax.Array, deq: jax.Array, qk_scale: jax.Array,
+                  o_inv: jax.Array, heads: int,
+                  qk_m2: jax.Array | None = None) -> jax.Array:
+    """CLS-query-only integer attention (plain jnp, no Pallas): the last
+    vision block's attention output is consumed only at row 0 (CLIP pools
+    ``x[:, 0]`` — reference open_clip forward, ``utils/inc_net.py:19-32``),
+    so Q shrinks to the CLS row while K/V stay full. Same math as
+    :func:`team_tpu.ops.mha_short._mha_packed_q3i_kernel` restricted to one
+    query row: int8×int8→int32 QKᵀ, calibrated static-max exp2 softmax
+    (row-max fallback for pre-``qk_m2`` payloads), bf16 PV with v's
+    per-channel dequant folded into the output quantize scale. Returns
+    ``[B, 1, D]`` int8. Non-causal, full-kv only (caller guards)."""
+    import team_tpu.ops.mha_short as _mha
+
+    b, s, d3 = qkvq.shape
+    d = d3 // 3
+    dh = d // heads
+    q8 = qkvq[:, 0, :d].reshape(b, heads, 1, dh)
+    k8 = qkvq[:, :, d:2 * d].reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    v8 = qkvq[:, :, 2 * d:].reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+    acc = jax.lax.dot_general(q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
+                              preferred_element_type=jnp.int32)  # [B,H,1,S]
+    qks = qk_scale.reshape(1, heads, 1, 1).astype(jnp.float32)
+    # honor the kernel's trace-time softmax knob so the CLS row stays
+    # bitwise-consistent with what the full kernel would have computed
+    # (tests strip qk_m2 / flip the knob and compare exactly)
+    if _mha._QI_SOFTMAX != "static":
+        qk_m2 = None
+    if qk_m2 is not None:
+        p = jnp.exp2(acc.astype(jnp.float32) * (qks * _CLS_LOG2E)
+                     - qk_m2.reshape(1, heads, 1, 1).astype(jnp.float32))
+    else:
+        logits = acc.astype(jnp.float32) * qks
+        p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    # PV numerator and denominator both see bf16 p (exactly the kernel's
+    # rowsum=mxu precision), accumulation in f32
+    pb = p.astype(jnp.bfloat16)
+    num = jax.lax.dot_general(pb, v8.astype(jnp.bfloat16),
+                              (((3,), (2,)), ((0, 1), (0, 1))),
+                              preferred_element_type=jnp.float32)  # [B,H,1,dh]
+    den = jnp.sum(pb.astype(jnp.float32), axis=-1, keepdims=True)
+    pv_scale = (deq.reshape(-1)[2 * d:].astype(jnp.float32)
+                * o_inv.reshape(-1).astype(jnp.float32)).reshape(
+                    1, heads, 1, dh)
+    out = num * pv_scale / den
+    out = out.transpose(0, 2, 1, 3).reshape(b, 1, d)
+    return jnp.clip(jnp.round(out), -127, 127).astype(jnp.int8)
+
+
+def _qblock_forward_static3d_qi_cls(qb: Dict[str, Any], x: jax.Array,
+                                    heads: int) -> jax.Array:
+    """LAST vision block in CLS-only form (round-4 late probe): everything
+    downstream of the final attention is consumed only at the CLS row, so
+    the out-projection, LN2, and the MLP run on ``[B, 1, D]`` instead of
+    ``[B, S, D]`` — 9/12 of the block's dot FLOPs and the final Pallas
+    attention call disappear, mathematically exactly (int8 dots are exact;
+    only the bf16 PV accumulation of row 0 can move by an int8 rounding
+    step). The qkv dot stays full: K/V need every token."""
+    qkvq = _static_linear3(_ln_quant3(x, qb["ln_1"], qb["qkv"]["inv_a"]),
+                           qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a_i"])
+    oq = _cls_attn_q3i(qkvq, qb["qkv"]["deq_i"], qb["qkv"]["qk_scale"],
+                       qb["out"]["inv_a"], heads,
+                       qk_m2=qb["qkv"].get("qk_m2"))
+    xc = x[:, :1] + _static_linear3(oq, qb["out"])
+    g = _static_linear3(_ln_quant3(xc, qb["ln_2"], qb["fc"]["inv_a"]),
+                        qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    return xc + _static_linear3(g, qb["proj"])
+
+
+def _qblock_forward_static3d_qi_clsmlp(qb: Dict[str, Any], x: jax.Array,
+                                       heads: int, kv_len, *, attn_impl: str,
+                                       interpret: bool,
+                                       attn_cls: bool = False) -> jax.Array:
+    """LAST vision block with CLS-only out-proj/LN2/MLP but the Pallas
+    attention kernel (probe split of :func:`_qblock_forward_static3d_qi_cls`:
+    the all-jnp CLS attention measured SLOWER on chip — the int8 k/v
+    head-relayout and the tiny batched dots cost more than the 196 dead query
+    rows save — but the post-attention 6/12 of the block's dot FLOPs are
+    still dead compute with zero layout cost to skip).
+
+    ``attn_cls`` swaps the FULL kernel for the CLS-query kernel
+    (:func:`team_tpu.ops.mha_short.fused_mha_packed_q3i_cls` — same packed
+    input layout, only query row 0 computed); falls back to the full TP
+    kernel when a 2-D model mesh is registered (the CLS kernel has no
+    shard_map wrapper — the last block is not the TP hot path)."""
+    import team_tpu.ops.mha_short as _mha
+    from team_tpu.ops.mha_short import (fused_mha_packed_q3i_cls,
+                                        fused_mha_packed_q3i_tp)
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    b, s, d = x.shape
+    qkvq = _static_linear3(_ln_quant3(x, qb["ln_1"], qb["qkv"]["inv_a"]),
+                           qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a_i"])
+    if attn_cls and _mha._TP_MESH is None and not (
+            kv_len is not None and kv_len < s):
+        oq_cls = fused_mha_packed_q3i_cls(qkvq, qb["qkv"]["deq_i"],
+                                          qb["qkv"]["qk_scale"],
+                                          qb["out"]["inv_a"], heads,
+                                          interpret=interpret,
+                                          qk_m2=qb["qkv"].get("qk_m2"))
+        xc = x[:, :1] + _static_linear3(oq_cls, qb["out"])
+        g = _static_linear3(_ln_quant3(xc, qb["ln_2"], qb["fc"]["inv_a"]),
+                            qb["fc"], activation="gelu",
+                            quant_inv_a=qb["proj"]["inv_a"])
+        return xc + _static_linear3(g, qb["proj"])
+    oq = fused_mha_packed_q3i_tp(qkvq, qb["qkv"]["deq_i"],
+                                 qb["qkv"]["qk_scale"], qb["out"]["inv_a"],
+                                 heads, causal=False,
+                                 kv_len=kv_len if (kv_len is not None
+                                                   and kv_len < s) else None,
+                                 interpret=interpret,
+                                 defer_norm=_os.environ.get(
+                                     "TEAM_QI_DEFER", "0") == "1",
+                                 qk_m2=qb["qkv"].get("qk_m2"))
+    xc = x[:, :1] + _static_linear3(oq[:, :1], qb["out"])
+    g = _static_linear3(_ln_quant3(xc, qb["ln_2"], qb["fc"]["inv_a"]),
+                        qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    return xc + _static_linear3(g, qb["proj"])
+
+
+_CLS_LOG2E = 1.4426950408889634  # matches team_tpu.ops.mha_short._LOG2E
+
+
 def _qblock_forward_static3d_qis(qb: Dict[str, Any], x: jax.Array, heads: int,
                                  kv_len, *, attn_impl: str, interpret: bool,
                                  causal: bool = False) -> jax.Array:
@@ -850,6 +976,7 @@ def encode_image_int8_u8(
     gemm_impl: str = "xla",
     interpret: bool = False,
     seq_pad: bool | None = None,
+    cls_last: bool | None = None,
 ) -> jax.Array:
     """uint8-native ingest for the quantized tower (round-4 audit finding:
     ~2 ms/batch of the profile is ingest). The patch-reorder transpose runs
@@ -873,7 +1000,7 @@ def encode_image_int8_u8(
     tokens = px @ qvision["patch_w"].astype(jnp.bfloat16)
     return _encode_tokens_int8(qvision, tokens, cfg, attn_impl=attn_impl,
                                gemm_impl=gemm_impl, interpret=interpret,
-                               seq_pad=seq_pad)
+                               seq_pad=seq_pad, cls_last=cls_last)
 
 
 def _patch_norm_consts(cfg: CLIPConfig):
@@ -892,6 +1019,7 @@ def encode_image_int8_patches(
     interpret: bool = False,
     seq_pad: bool | None = None,
     patch_dot: str | None = None,
+    cls_last: bool | None = None,
 ) -> jax.Array:
     """Patch-major uint8 ingest: ``[B, grid², 3·ps²] u8`` (the native
     loader's ``load_batch_u8_patches`` layout, element order =
@@ -928,7 +1056,7 @@ def encode_image_int8_patches(
         tokens = px @ qvision["patch_w"].astype(jnp.bfloat16)
     return _encode_tokens_int8(qvision, tokens, cfg, attn_impl=attn_impl,
                                gemm_impl=gemm_impl, interpret=interpret,
-                               seq_pad=seq_pad)
+                               seq_pad=seq_pad, cls_last=cls_last)
 
 
 def encode_image_int8(
@@ -940,6 +1068,7 @@ def encode_image_int8(
     gemm_impl: str = "xla",
     interpret: bool = False,
     seq_pad: bool | None = None,
+    cls_last: bool | None = None,
 ) -> jax.Array:
     """Quantized image tower: ``[B, H, W, 3]`` -> ``[B, embed_dim]`` f32.
 
@@ -957,14 +1086,31 @@ def encode_image_int8(
     tokens = embed_patches(fake, images, cfg, compute_dtype=jnp.bfloat16)
     return _encode_tokens_int8(qvision, tokens, cfg, attn_impl=attn_impl,
                                gemm_impl=gemm_impl, interpret=interpret,
-                               seq_pad=seq_pad)
+                               seq_pad=seq_pad, cls_last=cls_last)
 
 
 def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
-                        interpret, seq_pad):
+                        interpret, seq_pad, cls_last=None):
     """Quantized tower body over patch tokens (shared by the f32 and the
-    uint8-native ingest paths)."""
+    uint8-native ingest paths).
+
+    ``cls_last`` (default env ``TEAM_CLS_LAST``): run the LAST block in
+    CLS-only form — the pooled feature is ``x[:, 0]``, so the final block's
+    compute on the 196 patch rows is dead. Values: ``"mlp"`` (production
+    default — full Pallas attention, CLS-only out-proj/LN2/MLP),
+    ``"kq"`` (CLS-query Pallas kernel + CLS MLP — same packed layout, only
+    query row 0 computed), ``"attn"``/True (CLS attention in plain jnp —
+    measured SLOWER on chip, kept as probe), ``"0"``/False (full last
+    block). Trace-time knob: jitted callers cache the choice."""
     v = cfg.vision
+    if cls_last is True:
+        cls_mode = "attn"
+    elif cls_last is False:
+        cls_mode = "0"
+    elif cls_last is None:
+        cls_mode = _os.environ.get("TEAM_CLS_LAST", "mlp")
+    else:
+        cls_mode = cls_last
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
              "static": _qblock_forward_static,
              "static_qa": _qblock_forward_static_qa,
@@ -993,10 +1139,21 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
         return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)
     x = _maybe_pad_seq(x, attn_impl, seq_pad,
                        auto_default=gemm_impl in ("static", "static_qa", "hybrid"))
-    for qb in qvision["blocks"]:
+    blocks = qvision["blocks"]
+    use_cls = (cls_mode in ("attn", "mlp", "kq") and gemm_impl == "static3d_qi"
+               and x.shape[1] == v.seq_len)
+    for qb in (blocks[:-1] if use_cls else blocks):
         x = block(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
                   interpret=interpret)
-    x = _layer_norm(qvision["ln_post"], x[:, 0])
+    if use_cls and cls_mode == "attn":
+        x = _qblock_forward_static3d_qi_cls(blocks[-1], x, v.heads)[:, 0]
+    elif use_cls:
+        x = _qblock_forward_static3d_qi_clsmlp(
+            blocks[-1], x, v.heads, v.seq_len, attn_impl=attn_impl,
+            interpret=interpret, attn_cls=cls_mode == "kq")[:, 0]
+    else:
+        x = x[:, 0]
+    x = _layer_norm(qvision["ln_post"], x)
     return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)
 
 

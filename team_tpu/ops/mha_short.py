@@ -646,6 +646,105 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
     )(*operands)
 
 
+def _mha_packed_q3i_cls_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, *rest,
+                               heads: int, dh: int, precision,
+                               softmax: str):
+    """CLS-query variant of :func:`_mha_packed_q3i_kernel` (round-4 late
+    probe): only query ROW 0 of each sample is computed — the vision tower's
+    pooled feature consumes nothing else from the last block. K/V stay full,
+    the input layout is the same packed ``[g, S, 3D]`` int8 block (zero
+    relayout — the all-jnp CLS attention lost exactly there), QKᵀ is a
+    ``[1, dh] × [dh, S]`` int8 MXU dot and softmax/PV run on ``[1, S]``.
+    Non-causal, full-kv only (caller guards)."""
+    if softmax == "static":
+        qkm2_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    d_model = heads * dh
+    group = qkv_ref.shape[0]
+    deq = deq_ref[0, :]
+    oinv = oinv_ref[0, :]
+    for g in range(group):
+        for h in range(heads):
+            ql, kl, vl = (h * dh, d_model + h * dh, 2 * d_model + h * dh)
+            q8 = qkv_ref[g][0:1, ql:ql + dh]
+            k8 = qkv_ref[g][:, kl:kl + dh]
+            acc = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32, precision=precision,
+            )  # [1, S]
+            if softmax == "static":
+                p = jnp.exp2(acc.astype(jnp.float32)
+                             * (qks_ref[0:1, h:h + 1] * _LOG2E)
+                             - qkm2_ref[0:1, h:h + 1])
+            else:
+                logits = acc.astype(jnp.float32) * qks_ref[0:1, h:h + 1]
+                p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+            pv_scale = deq[vl:vl + dh] * oinv[ql:ql + dh]
+            v = qkv_ref[g][:, vl:vl + dh].astype(jnp.bfloat16)
+            von = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), jnp.bfloat16)], axis=1)
+            out_aug = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), von, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            out = (out_aug[:, :dh] * pv_scale[None, :]
+                   / out_aug[:, dh:dh + 1])
+            o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
+                                               -127, 127).astype(jnp.int8)
+
+
+# CLS kernel group: VMEM per program holds no [S, S] buffers, so the optimum
+# can sit higher than the full kernel's 8; re-tune on chip if the kernel
+# changes. B must be divisible (falls back to the full-kernel group rule).
+_QI_CLS_GROUP = max(1, int(_os.environ.get("TEAM_QI_CLS_GROUP", "8")))
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret",
+                                             "precision"))
+def fused_mha_packed_q3i_cls(qkv_q: jax.Array, deq: jax.Array,
+                             qk_scale: jax.Array, o_inv: jax.Array,
+                             heads: int, *, interpret: bool = False,
+                             precision: str = "default",
+                             qk_m2: jax.Array | None = None) -> jax.Array:
+    """Integer-QKᵀ attention for the CLS query only: ``[B, S, 3D]`` int8
+    qkv -> ``[B, 1, D]`` int8 (row 0 of what :func:`fused_mha_packed_q3i`
+    would return — same math, 1/S of the query rows). Non-causal, full-kv
+    (the vision tower's last block)."""
+    b, s, d3 = qkv_q.shape
+    d_model = d3 // 3
+    dh = d_model // heads
+    g = _QI_CLS_GROUP if b % _QI_CLS_GROUP == 0 else 1
+    mode = _QI_SOFTMAX if (_QI_SOFTMAX == "static" and qk_m2 is not None) \
+        else "f32"
+    kernel = functools.partial(
+        _mha_packed_q3i_cls_kernel, heads=heads, dh=dh,
+        precision=jax.lax.Precision(precision), softmax=mode)
+    in_specs = [pl.BlockSpec((g, s, d3), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, d3), lambda i: (0, 0)),
+                pl.BlockSpec((1, heads), lambda i: (0, 0)),
+                pl.BlockSpec((1, d_model), lambda i: (0, 0))]
+    operands = [qkv_q, deq.reshape(1, d3).astype(jnp.float32),
+                qk_scale.reshape(1, heads).astype(jnp.float32),
+                o_inv.reshape(1, d_model).astype(jnp.float32)]
+    if mode == "static":
+        in_specs.append(pl.BlockSpec((1, heads), lambda i: (0, 0)))
+        operands.append(qk_m2.reshape(1, heads).astype(jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, 1, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d_model), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * dh,
+            bytes_accessed=4 * b * s * d3,
+            transcendentals=b * heads * s,
+        ),
+    )(*operands)
+
+
 def _mha_packed_q3i_sb_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                               heads: int, dh: int, group: int, precision):
     """Sequence-major variant of :func:`_mha_packed_q3i_kernel` for the

@@ -331,6 +331,73 @@ def test_patch_dot_int8_u8_exact(rng):
     np.testing.assert_array_equal(old, base.astype(old.dtype))
 
 
+def test_cls_last_block_matches_full_tower(rng):
+    """TEAM_CLS_LAST (production default on, static3d_qi): the final vision
+    block runs in CLS-only form — the pooled feature is ``x[:, 0]``, so the
+    last block's out-proj/LN2/MLP on the patch rows (and the last Pallas
+    attention call) are dead compute. The math is exact: the int8 dots
+    accumulate in int32 (order-independent), and only the bf16 PV reduction
+    of the CLS row can move by float-rounding — outputs must match the full
+    tower to cosine ~1 and tiny absolute error. Also: qi2 / padded inputs
+    must NOT take the CLS path."""
+    from team_tpu.backbone.clip import CLIPConfig, encode_image, init_clip_params
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs = jnp.asarray(rng.standard_normal((6, sz, sz, 3)).astype(np.float32))
+    calib = calibrate_vision_tower(params, imgs, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
+
+    full = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                        gemm_impl="static3d_qi",
+                                        interpret=True, cls_last=False),
+                      np.float64)
+    rms = np.sqrt((full ** 2).mean())
+    # "mlp" (production default): full Pallas attention, CLS-only
+    # out-proj/LN2/MLP — bit-identical row-0 attention, int32-exact dots
+    mlp = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                       gemm_impl="static3d_qi",
+                                       interpret=True, cls_last="mlp"),
+                     np.float64)
+    assert np.abs(mlp - full).max() <= 5e-3 * rms + 1e-6
+    # "kq": CLS-query Pallas kernel (same packed layout, q row 0 only)
+    kq = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                      gemm_impl="static3d_qi",
+                                      interpret=True, cls_last="kq"),
+                    np.float64)
+    assert np.abs(kq - full).max() <= 5e-3 * rms + 1e-6
+    # "attn" (probe, rejected on chip): also CLS-only attention in plain jnp
+    cls = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                       gemm_impl="static3d_qi",
+                                       interpret=True, cls_last=True),
+                     np.float64)
+    cos = (full * cls).sum(-1) / (np.linalg.norm(full, axis=-1)
+                                  * np.linalg.norm(cls, axis=-1))
+    assert cos.min() >= 0.99999, cos
+    assert np.abs(cls - full).max() <= 5e-3 * rms + 1e-6
+
+    # and the bf16 gate still holds through the CLS path
+    ref = encode_image(params, imgs, cfg, compute_dtype=jnp.bfloat16,
+                       attn_impl="xla")
+    gate = _cosine(jnp.asarray(cls.astype(np.float32)), ref)
+    assert gate.min() >= 0.999, gate
+
+    # pre-qk_m2 payloads: CLS path must fall back to row-max softmax, not crash
+    qv_old = jax.tree_util.tree_map(lambda x: x, qv)
+    for qb in qv_old["blocks"]:
+        qb["qkv"] = {k: v for k, v in qb["qkv"].items() if k != "qk_m2"}
+    old = np.asarray(encode_image_int8(qv_old, imgs, cfg, attn_impl="xla",
+                                       gemm_impl="static3d_qi",
+                                       interpret=True, cls_last=True))
+    cos_old = (full * old).sum(-1) / (np.linalg.norm(full, axis=-1)
+                                      * np.linalg.norm(old, axis=-1))
+    assert cos_old.min() >= 0.9999, cos_old
+
+
 def test_rowsum_mxu_matches_reduce(rng):
     """TEAM_QI_ROWSUM=mxu rides the softmax denominator on the PV dot as an
     extra ones-column and normalizes the [S, dh] output — numerically the
