@@ -437,6 +437,34 @@ def test_rowsum_mxu_matches_reduce(rng):
         assert (diff > 0).mean() < 0.2, (flavor, (diff > 0).mean())
 
 
+def test_cls_query_kernel_matches_full_kernel_row0(rng):
+    """fused_mha_packed_q3i_cls computes only query ROW 0 from the same
+    packed [B, S, 3D] int8 block — it must equal row 0 of the full kernel's
+    output to (at most) one int8 step (the full kernel's mxu-rowsum form is
+    the same ones-column math), on both the static-max and row-max softmax
+    flavors."""
+    import team_tpu.ops.mha_short as mha
+
+    b, s, heads, dh = 4, 24, 4, 16
+    d = heads * dh
+    qkv = jnp.asarray(rng.integers(-127, 128, (b, s, 3 * d)).astype(np.int8))
+    deq = jnp.asarray(rng.uniform(0.01, 0.03, (3 * d,)).astype(np.float32))
+    qks = jnp.asarray(rng.uniform(1e-4, 3e-4, (heads,)).astype(np.float32))
+    oinv = jnp.asarray(rng.uniform(20, 60, (d,)).astype(np.float32))
+    m2 = jnp.asarray(rng.uniform(3, 6, (heads,)).astype(np.float32))
+
+    for m2_arg in (m2, None):
+        full = np.asarray(mha.fused_mha_packed_q3i(
+            qkv, deq, qks, oinv, heads, interpret=True,
+            qk_m2=m2_arg).astype(np.int32))[:, :1]
+        cls = np.asarray(mha.fused_mha_packed_q3i_cls(
+            qkv, deq, qks, oinv, heads, interpret=True,
+            qk_m2=m2_arg).astype(np.int32))
+        assert cls.shape == (b, 1, d)
+        diff = np.abs(cls - full)
+        assert diff.max() <= 1, (m2_arg is None, diff.max())
+
+
 def test_ln_quant3_one_pass_matches_two_pass(rng):
     """The one-pass (E[x²]−E[x]²) fused LN→quantize matches the two-pass form
     to (at most) one int8 step on realistic activation magnitudes."""
