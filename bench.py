@@ -180,4 +180,22 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The axon tunnel occasionally reports UNAVAILABLE at backend init
+    # (observed 2026-08-17: healthy runs minutes apart around a dead window).
+    # A failed init is cached inside the process, so retry by re-exec'ing a
+    # CLEAN process — the round-end bench must not lose the record to one
+    # hiccup. Hangs are the driver's timeout to handle; this only covers the
+    # fast-fail path.
+    import os as _os
+
+    try:
+        main()
+    except RuntimeError as e:
+        _tries = int(_os.environ.get("TEAM_BENCH_RETRY", "0"))
+        if "UNAVAILABLE" in str(e) and _tries < 3:
+            _log(f"backend unavailable (attempt {_tries + 1}/4) — "
+                 "sleeping 90 s and re-exec'ing: " + str(e)[:160])
+            time.sleep(90)
+            _os.environ["TEAM_BENCH_RETRY"] = str(_tries + 1)
+            _os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
