@@ -138,10 +138,16 @@ def main() -> None:
         from team_tpu.backbone.clip import patch_pixels
         from team_tpu.backbone.quant import encode_image_int8_patches
 
+        import os as _os
+
         patchify = jax.jit(jax.vmap(
             lambda im: patch_pixels(im, cfg, compute_dtype=jnp.uint8)))
         chunks = []
-        for ci in range(8):
+        # 8 chunks x scan-16 x B=256 x [196,768] u8 = 4.9 GB HBM; the chain
+        # model (wall = device*N + 28 ms/fence) prices 16 chunks at only
+        # ~+20 img/s for 2x the upload and HBM — keep 8, knob for probes
+        n_chunks = int(_os.environ.get("TEAM_BENCH_CHUNKS", "8"))
+        for ci in range(n_chunks):
             xs_c = (xs if ci == 0 else jnp.asarray(
                 rng.integers(0, 256, (iters, batch_size, 224, 224, 3),
                              dtype=np.uint8)))
