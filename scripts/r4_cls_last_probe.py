@@ -20,8 +20,11 @@ patch dot, static3d_qi, B=256, scan-16):
          shipped as TEAM_CLS_LAST=mlp, bench headline 6962)
   kq   — cls_last="kq"   (CLS-query Pallas kernel: same packed input
          layout, only q row 0 computed + CLS MLP)
+  kqs  — cls_last="kqs"  (split qkv dot: k/v projected for all rows, q for
+         the CLS row only — the q projection on the 196 dead rows is never
+         computed — + split CLS kernel + CLS MLP)
 
-Env: WHICH=full,mlp,kq  BATCH=256  ITERS=16
+Env: WHICH=full,mlp,kq,kqs  BATCH=256  ITERS=16
 """
 
 import os
@@ -71,7 +74,8 @@ def main():
     ref = np.asarray(f_bf16(params, xs[1]))
 
     for v in which:
-        cl = {"cls": "attn", "mlp": "mlp", "kq": "kq"}.get(v, False)
+        cl = {"cls": "attn", "mlp": "mlp", "kq": "kq",
+              "kqs": "kqs"}.get(v, False)
 
         def enc(q, px_u8, cl=cl):
             return encode_image_int8_patches(q, px_u8, cfg, attn_impl="auto",

@@ -710,7 +710,8 @@ def _qblock_forward_static3d_qi_cls(qb: Dict[str, Any], x: jax.Array,
 def _qblock_forward_static3d_qi_clsmlp(qb: Dict[str, Any], x: jax.Array,
                                        heads: int, kv_len, *, attn_impl: str,
                                        interpret: bool,
-                                       attn_cls: bool = False) -> jax.Array:
+                                       attn_cls: str | bool = False
+                                       ) -> jax.Array:
     """LAST vision block with CLS-only out-proj/LN2/MLP but the Pallas
     attention kernel (probe split of :func:`_qblock_forward_static3d_qi_cls`:
     the all-jnp CLS attention measured SLOWER on chip — the int8 k/v
@@ -718,22 +719,49 @@ def _qblock_forward_static3d_qi_clsmlp(qb: Dict[str, Any], x: jax.Array,
     rows save — but the post-attention 6/12 of the block's dot FLOPs are
     still dead compute with zero layout cost to skip).
 
-    ``attn_cls`` swaps the FULL kernel for the CLS-query kernel
+    ``attn_cls`` swaps the FULL kernel for a CLS-query kernel: ``"kq"``
     (:func:`team_tpu.ops.mha_short.fused_mha_packed_q3i_cls` — same packed
-    input layout, only query row 0 computed); falls back to the full TP
-    kernel when a 2-D model mesh is registered (the CLS kernel has no
-    shard_map wrapper — the last block is not the TP hot path)."""
+    input layout, only query row 0 computed) or ``"kqs"`` (split qkv dot:
+    k/v projected for all rows, q for the CLS row ONLY — the q projection
+    on the 196 dead rows is never computed; feeds
+    :func:`team_tpu.ops.mha_short.fused_mha_packed_q3i_cls_split`). Falls
+    back to the full TP kernel when a 2-D model mesh is registered (the CLS
+    kernels have no shard_map wrapper — the last block is not the TP hot
+    path)."""
     import team_tpu.ops.mha_short as _mha
     from team_tpu.ops.mha_short import (fused_mha_packed_q3i_cls,
+                                        fused_mha_packed_q3i_cls_split,
                                         fused_mha_packed_q3i_tp)
 
     if jax.default_backend() not in ("tpu", "axon"):
         interpret = True
     b, s, d = x.shape
+    use_cls_kernel = attn_cls and _mha._TP_MESH is None and not (
+        kv_len is not None and kv_len < s)
+    if use_cls_kernel and attn_cls == "kqs":
+        site = qb["qkv"]
+        q3 = _ln_quant3(x, qb["ln_1"], site["inv_a"])
+        kv_site = {"w_q": site["w_q"][:, d:], "scale": site["scale"][..., d:],
+                   "b": site["b"][..., d:]}
+        q_site = {"w_q": site["w_q"][:, :d], "scale": site["scale"][..., :d],
+                  "b": site["b"][..., :d]}
+        kvq = _static_linear3(q3, kv_site,
+                              quant_inv_a=site["out_inv_a_i"][..., d:])
+        qq = _static_linear3(q3[:, :1], q_site,
+                             quant_inv_a=site["out_inv_a_i"][..., :d])
+        oq_cls = fused_mha_packed_q3i_cls_split(qq, kvq, site["deq_i"],
+                                                site["qk_scale"],
+                                                qb["out"]["inv_a"], heads,
+                                                interpret=interpret,
+                                                qk_m2=site.get("qk_m2"))
+        xc = x[:, :1] + _static_linear3(oq_cls, qb["out"])
+        g = _static_linear3(_ln_quant3(xc, qb["ln_2"], qb["fc"]["inv_a"]),
+                            qb["fc"], activation="gelu",
+                            quant_inv_a=qb["proj"]["inv_a"])
+        return xc + _static_linear3(g, qb["proj"])
     qkvq = _static_linear3(_ln_quant3(x, qb["ln_1"], qb["qkv"]["inv_a"]),
                            qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a_i"])
-    if attn_cls and _mha._TP_MESH is None and not (
-            kv_len is not None and kv_len < s):
+    if use_cls_kernel:
         oq_cls = fused_mha_packed_q3i_cls(qkvq, qb["qkv"]["deq_i"],
                                           qb["qkv"]["qk_scale"],
                                           qb["out"]["inv_a"], heads,
@@ -1096,19 +1124,22 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
 
     ``cls_last`` (default env ``TEAM_CLS_LAST``): run the LAST block in
     CLS-only form — the pooled feature is ``x[:, 0]``, so the final block's
-    compute on the 196 patch rows is dead. Values: ``"mlp"`` (production
-    default — full Pallas attention, CLS-only out-proj/LN2/MLP),
-    ``"kq"`` (CLS-query Pallas kernel + CLS MLP — same packed layout, only
-    query row 0 computed), ``"attn"``/True (CLS attention in plain jnp —
-    measured SLOWER on chip, kept as probe), ``"0"``/False (full last
-    block). Trace-time knob: jitted callers cache the choice."""
+    compute on the 196 patch rows is dead. Values: ``"kq"`` (production
+    default — CLS-query Pallas kernel + CLS MLP: same packed layout, only
+    query row 0 computed; beat "mlp" 6744 vs 6668 same-process on chip),
+    ``"mlp"`` (full Pallas attention, CLS-only out-proj/LN2/MLP),
+    ``"kqs"`` (split qkv dot + split CLS kernel — REJECTED on chip, 6580:
+    splitting the qkv dot out of the mega-fusion costs more than the dead
+    q rows save), ``"attn"``/True (CLS attention in plain jnp — measured
+    SLOWER on chip, kept as probe), ``"0"``/False (full last block).
+    Trace-time knob: jitted callers cache the choice."""
     v = cfg.vision
     if cls_last is True:
         cls_mode = "attn"
     elif cls_last is False:
         cls_mode = "0"
     elif cls_last is None:
-        cls_mode = _os.environ.get("TEAM_CLS_LAST", "mlp")
+        cls_mode = _os.environ.get("TEAM_CLS_LAST", "kq")
     else:
         cls_mode = cls_last
     block = {"xla": _qblock_forward_xla, "hybrid": _qblock_forward_hybrid,
@@ -1140,8 +1171,8 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
     x = _maybe_pad_seq(x, attn_impl, seq_pad,
                        auto_default=gemm_impl in ("static", "static_qa", "hybrid"))
     blocks = qvision["blocks"]
-    use_cls = (cls_mode in ("attn", "mlp", "kq") and gemm_impl == "static3d_qi"
-               and x.shape[1] == v.seq_len)
+    use_cls = (cls_mode in ("attn", "mlp", "kq", "kqs")
+               and gemm_impl == "static3d_qi" and x.shape[1] == v.seq_len)
     for qb in (blocks[:-1] if use_cls else blocks):
         x = block(qb, x, v.heads, v.seq_len, attn_impl=attn_impl,
                   interpret=interpret)
@@ -1150,7 +1181,8 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
     elif use_cls:
         x = _qblock_forward_static3d_qi_clsmlp(
             blocks[-1], x, v.heads, v.seq_len, attn_impl=attn_impl,
-            interpret=interpret, attn_cls=cls_mode == "kq")[:, 0]
+            interpret=interpret,
+            attn_cls=cls_mode if cls_mode in ("kq", "kqs") else False)[:, 0]
     else:
         x = x[:, 0]
     x = _layer_norm(qvision["ln_post"], x)

@@ -745,6 +745,105 @@ def fused_mha_packed_q3i_cls(qkv_q: jax.Array, deq: jax.Array,
     )(*operands)
 
 
+def _mha_packed_q3i_cls_split_kernel(q_ref, kv_ref, deq_ref, qks_ref,
+                                     oinv_ref, *rest, heads: int, dh: int,
+                                     precision, softmax: str):
+    """Split-input CLS-query attention (round-4 'kqs' probe): the LAST
+    block's qkv dot only needs q for ROW 0 (the CLS kernel discards the
+    rest), so the caller computes k/v for all rows (``kv_ref: [g, S, 2D]``)
+    and q for the CLS row only (``q_ref: [g, 1, D]``) — ~1/3 of the last
+    qkv dot's FLOPs on 196/197 rows is dead and never computed. Same math
+    as :func:`_mha_packed_q3i_cls_kernel`; ``deq_ref`` keeps the full
+    ``[1, 3D]`` layout (v scales live at ``[2D:3D]``)."""
+    if softmax == "static":
+        qkm2_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    d_model = heads * dh
+    group = q_ref.shape[0]
+    deq = deq_ref[0, :]
+    oinv = oinv_ref[0, :]
+    for g in range(group):
+        for h in range(heads):
+            ql = h * dh
+            q8 = q_ref[g][0:1, ql:ql + dh]
+            k8 = kv_ref[g][:, ql:ql + dh]
+            acc = jax.lax.dot_general(
+                q8, k8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32, precision=precision,
+            )  # [1, S]
+            if softmax == "static":
+                p = jnp.exp2(acc.astype(jnp.float32)
+                             * (qks_ref[0:1, h:h + 1] * _LOG2E)
+                             - qkm2_ref[0:1, h:h + 1])
+            else:
+                logits = acc.astype(jnp.float32) * qks_ref[0:1, h:h + 1]
+                p = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+            pv_scale = (deq[2 * d_model + ql:2 * d_model + ql + dh]
+                        * oinv[ql:ql + dh])
+            v = kv_ref[g][:, d_model + ql:d_model + ql + dh].astype(
+                jnp.bfloat16)
+            von = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), jnp.bfloat16)], axis=1)
+            out_aug = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), von, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            out = (out_aug[:, :dh] * pv_scale[None, :]
+                   / out_aug[:, dh:dh + 1])
+            o_ref[g, :, ql:ql + dh] = jnp.clip(jnp.round(out),
+                                               -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret",
+                                             "precision"))
+def fused_mha_packed_q3i_cls_split(q_q: jax.Array, kv_q: jax.Array,
+                                   deq: jax.Array, qk_scale: jax.Array,
+                                   o_inv: jax.Array, heads: int, *,
+                                   interpret: bool = False,
+                                   precision: str = "default",
+                                   qk_m2: jax.Array | None = None
+                                   ) -> jax.Array:
+    """CLS-query integer-QKᵀ attention over SPLIT inputs: ``q_q [B, 1, D]``
+    int8 (CLS row only) + ``kv_q [B, S, 2D]`` int8 -> ``[B, 1, D]`` int8.
+    Same result as :func:`fused_mha_packed_q3i_cls` on the packed tensor;
+    lets the caller skip the q projection on the 196 dead rows. Non-causal,
+    full-kv (the vision tower's last block)."""
+    b, s, d2 = kv_q.shape
+    d_model = d2 // 2
+    dh = d_model // heads
+    g = _QI_CLS_GROUP if b % _QI_CLS_GROUP == 0 else 1
+    mode = _QI_SOFTMAX if (_QI_SOFTMAX == "static" and qk_m2 is not None) \
+        else "f32"
+    kernel = functools.partial(
+        _mha_packed_q3i_cls_split_kernel, heads=heads, dh=dh,
+        precision=jax.lax.Precision(precision), softmax=mode)
+    in_specs = [pl.BlockSpec((g, 1, d_model), lambda i: (i, 0, 0)),
+                pl.BlockSpec((g, s, d2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, 3 * d_model), lambda i: (0, 0)),
+                pl.BlockSpec((1, heads), lambda i: (0, 0)),
+                pl.BlockSpec((1, d_model), lambda i: (0, 0))]
+    operands = [q_q, kv_q, deq.reshape(1, 3 * d_model).astype(jnp.float32),
+                qk_scale.reshape(1, heads).astype(jnp.float32),
+                o_inv.reshape(1, d_model).astype(jnp.float32)]
+    if mode == "static":
+        in_specs.append(pl.BlockSpec((1, heads), lambda i: (0, 0)))
+        operands.append(qk_m2.reshape(1, heads).astype(jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, 1, d_model), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d_model), jnp.int8),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * dh,
+            bytes_accessed=b * s * d2 + b * d_model,
+            transcendentals=b * heads * s,
+        ),
+    )(*operands)
+
+
 def _mha_packed_q3i_sb_kernel(qkv_ref, deq_ref, qks_ref, oinv_ref, o_ref, *,
                               heads: int, dh: int, group: int, precision):
     """Sequence-major variant of :func:`_mha_packed_q3i_kernel` for the

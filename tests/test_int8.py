@@ -370,6 +370,15 @@ def test_cls_last_block_matches_full_tower(rng):
                                       interpret=True, cls_last="kq"),
                     np.float64)
     assert np.abs(kq - full).max() <= 5e-3 * rms + 1e-6
+    # "kqs": split qkv dot (k/v all rows, q CLS row only) + split CLS kernel
+    kqs = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
+                                       gemm_impl="static3d_qi",
+                                       interpret=True, cls_last="kqs"),
+                     np.float64)
+    assert np.abs(kqs - full).max() <= 5e-3 * rms + 1e-6
+    # the split form must agree with the packed-kq form to float rounding
+    # (same math, identical int8 operands)
+    assert np.abs(kqs - kq).max() <= 1e-3 * rms + 1e-6
     # "attn" (probe, rejected on chip): also CLS-only attention in plain jnp
     cls = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
                                        gemm_impl="static3d_qi",
