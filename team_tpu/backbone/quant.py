@@ -788,6 +788,40 @@ def _qblock_forward_static3d_qi_clsmlp(qb: Dict[str, Any], x: jax.Array,
     return xc + _static_linear3(g, qb["proj"])
 
 
+def _qblock_forward_static3d_qib(qb: Dict[str, Any], xf: jax.Array,
+                                 heads: int, b_real: int, s_real: int, *,
+                                 interpret: bool) -> jax.Array:
+    """FLAT-BATCH static3d_qi block (round-4 emitter-regime probe): the dots
+    and LN/quantize producers run on ``xf: [BF, (B/BF)*S, D]`` — the same
+    bytes as ``[B, S, D]`` row-major, so every reshape is a free bitcast
+    (LN/quantize/residual are per-row and the dots contract only the last
+    dim: math is IDENTICAL) — while the Pallas attention kernel views the
+    packed qkv tensor at the real ``[B, S, 3D]`` shape. Probes whether XLA's
+    batch-in-sublanes conv emitter (measured 83 % of int8 MXU peak at
+    B=256/S=197) lowers better at a different batch/spatial split
+    (``TEAM_FLAT_B``), with ZERO layout cost — the only transformation class
+    that has ever won this round. Non-causal, full-kv, no TP (probe)."""
+    from team_tpu.ops.mha_short import fused_mha_packed_q3i_tp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    bf, m, d = xf.shape
+    qkvq = _static_linear3(_ln_quant3(xf, qb["ln_1"], qb["qkv"]["inv_a"]),
+                           qb["qkv"], quant_inv_a=qb["qkv"]["out_inv_a_i"])
+    oq = fused_mha_packed_q3i_tp(qkvq.reshape(b_real, s_real, 3 * d),
+                                 qb["qkv"]["deq_i"], qb["qkv"]["qk_scale"],
+                                 qb["out"]["inv_a"], heads, causal=False,
+                                 kv_len=None, interpret=interpret,
+                                 defer_norm=_os.environ.get(
+                                     "TEAM_QI_DEFER", "0") == "1",
+                                 qk_m2=qb["qkv"].get("qk_m2"))
+    xf = xf + _static_linear3(oq.reshape(bf, m, d), qb["out"])
+    g = _static_linear3(_ln_quant3(xf, qb["ln_2"], qb["fc"]["inv_a"]),
+                        qb["fc"], activation="gelu",
+                        quant_inv_a=qb["proj"]["inv_a"])
+    return xf + _static_linear3(g, qb["proj"])
+
+
 _CLS_LOG2E = 1.4426950408889634  # matches team_tpu.ops.mha_short._LOG2E
 
 
@@ -1150,6 +1184,7 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
              "static3d_qaf": _qblock_forward_static3d_qaf,
              "static3d_qi": _qblock_forward_static3d_qi,
              "static3d_qis": _qblock_forward_static3d_qis,
+             "static3d_qib": _qblock_forward_static3d_qi,  # flat-B branch below
              "static3d_qi2": _functools.partial(_qblock_forward_static3d_qi,
                                                 pv_int8=True),
              "pallas": _qblock_forward}[gemm_impl]
@@ -1167,6 +1202,23 @@ def _encode_tokens_int8(qvision, tokens, cfg, *, attn_impl, gemm_impl,
                                              attn_impl=attn_impl,
                                              interpret=interpret)
         x = _layer_norm(qvision["ln_post"], x[0])
+        return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)
+    if gemm_impl == "static3d_qib":
+        # flat-batch emitter probe: dots/LN on [BF, (B/BF)*S, D] (bitcast of
+        # [B, S, D]), attention at the real shape, CLS-last block unchanged
+        bf = int(_os.environ.get("TEAM_FLAT_B", "8"))
+        b_real, s_real = x.shape[0], x.shape[1]
+        if b_real % bf != 0:
+            bf = 1
+        xf = x.reshape(bf, (b_real // bf) * s_real, v.width)
+        for qb in qvision["blocks"][:-1]:
+            xf = _qblock_forward_static3d_qib(qb, xf, v.heads, b_real, s_real,
+                                              interpret=interpret)
+        x = xf.reshape(b_real, s_real, v.width)
+        x = _qblock_forward_static3d_qi_clsmlp(
+            qvision["blocks"][-1], x, v.heads, v.seq_len, attn_impl=attn_impl,
+            interpret=interpret, attn_cls="kq")[:, 0]
+        x = _layer_norm(qvision["ln_post"], x)
         return (x @ qvision["proj"].astype(compute_dtype)).astype(jnp.float32)
     x = _maybe_pad_seq(x, attn_impl, seq_pad,
                        auto_default=gemm_impl in ("static", "static_qa", "hybrid"))

@@ -729,3 +729,37 @@ def test_u8_native_ingest_bit_identical(rng):
                                         gemm_impl="static3d_qi",
                                         interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+def test_flat_batch_qib_matches_qi(rng, monkeypatch):
+    """gemm_impl="static3d_qib" (flat-batch emitter probe): the dots and
+    LN/quantize producers run on ``[BF, (B/BF)*S, D]`` — a free bitcast of
+    ``[B, S, D]`` (identical bytes; LN/quantize/residual are per-row and the
+    dots contract only the last dim) — while the attention kernel views the
+    packed qkv at the real shape. Outputs must be BIT-IDENTICAL to the
+    shipped static3d_qi graph (kq CLS-last on both)."""
+    from team_tpu.backbone.clip import CLIPConfig, init_clip_params, patch_pixels
+    from team_tpu.backbone.quant import (calibrate_vision_tower,
+                                         encode_image_int8_patches,
+                                         quantize_vision_tower_static)
+
+    cfg = CLIPConfig.tiny()
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    sz = cfg.vision.image_size
+    imgs_u8 = jnp.asarray(
+        np.asarray(rng.integers(0, 256, (4, sz, sz, 3))).astype(np.uint8))
+    calib = calibrate_vision_tower(
+        params, imgs_u8.astype(jnp.float32) / 255.0, cfg, attn_impl="xla")
+    qv = quantize_vision_tower_static(params, calib, heads=cfg.vision.heads)
+    patches = patch_pixels(imgs_u8, cfg, compute_dtype=jnp.uint8)
+
+    monkeypatch.setenv("TEAM_CLS_LAST", "kq")
+    base = np.asarray(encode_image_int8_patches(
+        qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qi",
+        interpret=True))
+    for bf in ("1", "2"):
+        monkeypatch.setenv("TEAM_FLAT_B", bf)
+        got = np.asarray(encode_image_int8_patches(
+            qv, patches, cfg, attn_impl="xla", gemm_impl="static3d_qib",
+            interpret=True))
+        np.testing.assert_array_equal(got, base)
