@@ -263,7 +263,20 @@ _QI_SOFTMAX = _os.environ.get("TEAM_QI_SOFTMAX", "static")
 # cosine gate unchanged (min 0.999751 — the denominator's bf16 rounding is
 # invisible next to the PV numerator's, which was already bf16).
 _QI_ROWSUM = _os.environ.get("TEAM_QI_ROWSUM", "mxu")
+# q3i VMEM budget override (MB, 0 = Mosaic default ~16 MB scoped limit).
+# The default limit is what rejected TEAM_QI_GROUP=16 (22.5 MB of blocks);
+# >0 passes an explicit vmem_limit_bytes so larger groups can be probed.
+# Trace-time like the other knobs: flip + clear_cache() in tests/probes.
+_QI_VMEM_MB = int(_os.environ.get("TEAM_QI_VMEM_MB", "0"))
 _LOG2E = 1.4426950408889634
+
+
+def _qi_compiler_params():
+    if _QI_VMEM_MB <= 0:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_QI_VMEM_MB * 1024 * 1024)
 
 
 def _mha_packed_fwd_impl(qkv: jax.Array, heads: int, causal: bool,
@@ -638,6 +651,7 @@ def fused_mha_packed_q3i(qkv_q: jax.Array, deq: jax.Array, qk_scale: jax.Array,
         out_specs=pl.BlockSpec((g, s, d_model), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, d_model), jnp.int8),
         interpret=interpret,
+        compiler_params=_qi_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * heads * s * s * dh,
             bytes_accessed=4 * b * s * d3,
@@ -737,6 +751,7 @@ def fused_mha_packed_q3i_cls(qkv_q: jax.Array, deq: jax.Array,
         out_specs=pl.BlockSpec((g, 1, d_model), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, 1, d_model), jnp.int8),
         interpret=interpret,
+        compiler_params=_qi_compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * heads * s * dh,
             bytes_accessed=4 * b * s * d3,
