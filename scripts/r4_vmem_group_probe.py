@@ -50,6 +50,9 @@ VARIANTS = {
     "c16": (8, 16, 48),
     "g16c16": (16, 16, 48),
     "g32": (32, 8, 96),
+    # control: shipped groups, raised limit only — attributes the g16/c16
+    # losses to the flag vs the grouping
+    "ctl48": (8, 8, 48),
 }
 
 

@@ -237,11 +237,13 @@ def test_static_max_softmax_matches_row_max(rng):
     try:
         mha._QI_SOFTMAX = "f32"
         mha.fused_mha_packed_q3i.clear_cache()
+        mha.fused_mha_packed_q3i_cls.clear_cache()
         base = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
                                             gemm_impl="static3d_qi",
                                             interpret=True))
         mha._QI_SOFTMAX = "static"
         mha.fused_mha_packed_q3i.clear_cache()
+        mha.fused_mha_packed_q3i_cls.clear_cache()
         got = np.asarray(encode_image_int8(qv, imgs, cfg, attn_impl="xla",
                                            gemm_impl="static3d_qi",
                                            interpret=True))
@@ -258,6 +260,7 @@ def test_static_max_softmax_matches_row_max(rng):
     finally:
         mha._QI_SOFTMAX = old
         mha.fused_mha_packed_q3i.clear_cache()
+        mha.fused_mha_packed_q3i_cls.clear_cache()
 
 
 def test_encode_image_int8_patches_matches_image_path(rng):
@@ -431,6 +434,7 @@ def test_rowsum_mxu_matches_reduce(rng):
         for mode in ("reduce", "mxu"):
             mha._QI_ROWSUM = mode
             mha.fused_mha_packed_q3i.clear_cache()
+            mha.fused_mha_packed_q3i_cls.clear_cache()
             outs[mode] = np.asarray(mha.fused_mha_packed_q3i(
                 qkv, deq, qks, oinv, heads, interpret=True,
                 qk_m2=m2).astype(np.int32))
@@ -440,6 +444,7 @@ def test_rowsum_mxu_matches_reduce(rng):
     finally:
         mha._QI_ROWSUM = old
         mha.fused_mha_packed_q3i.clear_cache()
+        mha.fused_mha_packed_q3i_cls.clear_cache()
     for flavor in ("", "_rowmax"):
         diff = np.abs(outs["mxu" + flavor] - outs["reduce" + flavor])
         assert diff.max() <= 1, (flavor, diff.max())
