@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from team_tpu.backbone.clip import CLIPConfig, embed_patches, encode_from_patches
 
+from team_tpu.utils.jmath import l2_normalize
+
 
 def grad_cam(params, images: jax.Array, target: jax.Array, cfg: CLIPConfig,
              *, attn_impl: str = "xla") -> jax.Array:
@@ -25,11 +27,11 @@ def grad_cam(params, images: jax.Array, target: jax.Array, cfg: CLIPConfig,
     direction(s) -> saliency maps ``[B, g, g]`` normalized to [0, 1]."""
     tokens = embed_patches(params, images, cfg)
     tgt = target if target.ndim == 2 else jnp.broadcast_to(target, (images.shape[0],) + target.shape)
-    tgt = tgt / jnp.maximum(jnp.linalg.norm(tgt, axis=-1, keepdims=True), 1e-12)
+    tgt = l2_normalize(tgt)
 
     def score(tok):
         feats = encode_from_patches(params, tok, cfg, attn_impl=attn_impl)
-        feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        feats = l2_normalize(feats)
         return jnp.sum(feats * tgt)
 
     grads = jax.grad(score)(tokens)                     # [B, g*g, width]

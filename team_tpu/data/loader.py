@@ -221,12 +221,18 @@ class ArrayLoader:
             stop = object()
 
             def producer():
+                # a raised exception must reach the CONSUMER: a bare
+                # `finally: q.put(stop)` would turn a decode crash into a
+                # clean early end-of-iteration and every downstream consumer
+                # (feature cache, prototypes, eval) would silently run on a
+                # truncated dataset
                 try:
                     for b in range(nb):
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                         q.put(self._make_batch(idxs, pool, rng))
-                finally:
                     q.put(stop)
+                except BaseException as e:  # pragma: no cover - rethrown below
+                    q.put(e)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
@@ -234,5 +240,8 @@ class ArrayLoader:
                 item = q.get()
                 if item is stop:
                     break
+                if isinstance(item, BaseException):
+                    t.join()
+                    raise item
                 yield item
             t.join()

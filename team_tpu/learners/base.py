@@ -149,6 +149,11 @@ class BaseLearner:
     # 1-core host (round-1 verdict item 3).
     # ------------------------------------------------------------------
     def _cacheable(self, ds) -> bool:
+        if self.cfg.get("cache_backbone_features", False):
+            # explicit opt-in: cache even stochastic pipelines — the FIRST
+            # augmentation draws are frozen for the run (the config comment's
+            # documented "breaks aug parity" trade for encode time)
+            return True
         if self.cfg.get("augment_ops", None):
             return False
         if ds.mode == "train" and not ds.deterministic_train:
@@ -266,6 +271,13 @@ class BaseLearner:
     def _evaluate_zs(self, y_pred: np.ndarray, y_true: np.ndarray) -> Dict:
         grouped = accuracy(y_pred.T[0], y_true, self._total_classes)
         ret = {"grouped": grouped, "top1": grouped["total"]}
+        if y_pred.shape[1] < self.topk:
+            # fewer total classes than topk: pad with -1 columns (never a
+            # label) so the tiled comparison below stays shape-aligned —
+            # mirrors _eval_cnn's padding for the same small-protocol case
+            pad = np.full((y_pred.shape[0], self.topk - y_pred.shape[1]), -1,
+                          y_pred.dtype)
+            y_pred = np.concatenate([y_pred, pad], axis=1)
         ret[f"top{self.topk}"] = np.around(
             (y_pred.T == np.tile(y_true, (self.topk, 1))).sum() * 100 / len(y_true), decimals=2
         )
@@ -357,7 +369,13 @@ class BaseLearner:
                 # total-budget mode: old classes' quotas shrink as classes
                 # arrive — trim them FIRST or memory_size is silently exceeded
                 self._reduce_exemplar(data_manager, per_class)
-            self._construct_exemplar_unified(data_manager, per_class)
+            # budget_exact: under a TOTAL budget the per-state counts must sum
+            # to <= per_class (the reference's max(m//S, 1) floor can double
+            # the class quota when a class has more states than exemplars);
+            # fixed_memory keeps the reference formula (per-class quota is
+            # the contract there, reference models/base.py:397)
+            self._construct_exemplar_unified(data_manager, per_class,
+                                             budget_exact=not self._fixed_memory)
         else:
             self._reduce_exemplar(data_manager, per_class)
             self._construct_exemplar(data_manager, per_class)
@@ -429,8 +447,16 @@ class BaseLearner:
                 data_manager, (selected, exemplar_targets, sel_stages)
             )
 
-    def _construct_exemplar_unified(self, data_manager: DataManager, m: int) -> None:
-        """Per-state herding when ``fixed_memory`` (reference ``models/base.py:345-458``)."""
+    def _construct_exemplar_unified(self, data_manager: DataManager, m: int,
+                                    budget_exact: bool = False) -> None:
+        """Per-state herding when ``fixed_memory`` (reference ``models/base.py:345-458``).
+
+        ``budget_exact`` (fix-mode ``stage_first_replay`` under a TOTAL
+        memory budget): allocate per-state counts that sum to exactly ``m``
+        (extras to the lower state ids, deterministic) instead of the
+        reference's ``max(m // n_states, 1)`` floor — the floor silently
+        exceeds the class quota whenever a class has more present lifecycle
+        states than exemplar slots."""
         logging.info("Constructing per-state exemplars (up to %d per class)", m)
         if not hasattr(self, "_data_memory_by_state"):
             self._data_memory_by_state: Dict = {}
@@ -452,11 +478,27 @@ class BaseLearner:
             vectors = (vectors.T / (np.linalg.norm(vectors.T, axis=0) + EPSILON)).T
 
             unique_states = np.unique(state_ids)
-            samples_per_state = max(m // len(unique_states), 1)
+            n_states = len(unique_states)
+            if budget_exact:
+                # counts sum to exactly m (extras to lower state ids); states
+                # past the budget get 0 and are skipped — the total budget is
+                # the contract here, stage coverage is best-effort
+                quotas = np.full(n_states, m // n_states, np.int64)
+                quotas[: m % n_states] += 1
+                if m < n_states:
+                    logging.warning(
+                        "stage_first_replay: class %d has %d states but only "
+                        "%d exemplar slots — %d state(s) unrepresented",
+                        class_idx, n_states, m, n_states - m)
+            else:
+                quotas = np.full(n_states,
+                                 max(m // n_states, 1), np.int64)
             self._data_memory_by_state.setdefault(class_idx, {})
             self._targets_memory_by_state.setdefault(class_idx, {})
 
-            for state_id in unique_states:
+            for state_id, samples_per_state in zip(unique_states, quotas):
+                if samples_per_state == 0:
+                    continue
                 smask = state_ids == state_id
                 sv, sd = vectors[smask], np.asarray(data)[smask]
                 if len(sv) <= samples_per_state:

@@ -203,6 +203,7 @@ class Learner(BaseLearner):
         # fresh forward per epoch (models/proof.py:397-412).
         self._train_stochastic = bool(
             (self.cfg.get("augment_ops", None) or not train_ds.deterministic_train)
+            and not self.cfg.get("cache_backbone_features", False)
             and jax.process_count() == 1
         )
         if self._train_stochastic:
@@ -211,11 +212,19 @@ class Learner(BaseLearner):
             self._stoch_loader = self._loader(train_ds, batch_size=EVAL_BATCH)
             self._train_feats = self._encode_train_fresh()
         else:
-            if self.cfg.get("augment_ops", None) or not train_ds.deterministic_train:
-                logging.warning(
-                    "stochastic train pipeline under multi-host: features are "
-                    "encoded once per task (per-epoch re-encode is single-host)"
-                )
+            if (self.cfg.get("augment_ops", None)
+                    or not train_ds.deterministic_train):
+                if self.cfg.get("cache_backbone_features", False):
+                    logging.info(
+                        "cache_backbone_features=true: stochastic train "
+                        "pipeline encoded ONCE per task (first augmentation "
+                        "draws frozen — aug parity deliberately traded for "
+                        "encode time)")
+                else:
+                    logging.warning(
+                        "stochastic train pipeline under multi-host: features "
+                        "are encoded once per task (per-epoch re-encode is "
+                        "single-host)")
             self._train_feats = self._dataset_features(train_ds)
         self._test_feats = self._dataset_features(test_ds)
 
@@ -330,7 +339,8 @@ class Learner(BaseLearner):
             opt_state = self._tx.init(self.trainable)
         feats, labels, stages = self._train_feats
         n = len(labels)
-        shuffle_rng = np.random.default_rng(int(cfg.seed[0]) + self._cur_task)
+        seed0 = cfg.seed[0] if isinstance(cfg.seed, (list, tuple)) else cfg.seed
+        shuffle_rng = np.random.default_rng(int(seed0) + self._cur_task)
 
         # pre-training integration (reference proof.py:394) — no-op, documented
         self.integrate_with_state_distance()
@@ -594,17 +604,25 @@ class Learner(BaseLearner):
         total = self.data_manager.get_total_classnum()
         if getattr(self, "_zs_feats", None) is None:
             ds = self.data_manager.get_dataset(np.arange(0, total), source="test", mode="test")
-            from team_tpu.learners.base import _fetch_concat
+            if self._cacheable(ds):
+                # serve from (and populate) the RUN-WIDE frozen-feature cache:
+                # the per-task test sets are subsets of this all-class set, so
+                # their _test_feats extractions become pure cache hits — each
+                # test image is encoded exactly once per run (base.py:144-149)
+                self._zs_feats = (self._cached_features(ds, EVAL_BATCH),
+                                  np.asarray(ds.labels))
+            else:  # pragma: no cover — test pipelines are deterministic
+                from team_tpu.learners.base import _fetch_concat
 
-            loader = self._loader(ds, batch_size=EVAL_BATCH)
-            pending = [(int(b.get("valid", len(b["label"]))), b["label"],
-                        self.backbone.encode_image(jnp.asarray(b["image"])))
-                       for b in loader]  # dispatch all batches, fetch ONCE
-            stacked, offs = _fetch_concat([f for _, _, f in pending])
-            self._zs_feats = (
-                np.concatenate([stacked[o:o + v]
-                                for (v, _, _), o in zip(pending, offs)]),
-                np.concatenate([lab[:v] for v, lab, _ in pending]))
+                loader = self._loader(ds, batch_size=EVAL_BATCH)
+                pending = [(int(b.get("valid", len(b["label"]))), b["label"],
+                            self.backbone.encode_image(jnp.asarray(b["image"])))
+                           for b in loader]  # dispatch all batches, fetch ONCE
+                stacked, offs = _fetch_concat([f for _, _, f in pending])
+                self._zs_feats = (
+                    np.concatenate([stacked[o:o + v]
+                                    for (v, _, _), o in zip(pending, offs)]),
+                    np.concatenate([lab[:v] for v, lab, _ in pending]))
 
         text_features = self._zero_shot_text_features()
         feats, labels = self._zs_feats

@@ -293,6 +293,7 @@ def proof_loss(
     parity_no_grad_ce: bool,
     clip_axis: Optional[str] = None,
     clip_shards: int = 1,
+    clip_local: bool = False,
 ) -> Tuple[jax.Array, StepStats]:
     basic_img = batch["feat"]            # [B, D] frozen-backbone image features
     targets = batch["label"]
@@ -328,12 +329,20 @@ def proof_loss(
         # so XLA keeps each sub-loss local — no all-gather traffic.
         d = img_norm.shape[-1]
         vm_s = (jnp.ones((img_norm.shape[0],)) if vm is None else vm).reshape(clip_shards, -1)
-        clip_val = jnp.mean(jax.vmap(
+        shard_losses = jax.vmap(
             lambda a, b, v: clip_loss(a, b, logit_scale, valid_mask=v)
-        )(img_norm.reshape(clip_shards, -1, d), txt_norm.reshape(clip_shards, -1, d), vm_s))
+        )(img_norm.reshape(clip_shards, -1, d), txt_norm.reshape(clip_shards, -1, d), vm_s)
+        # clip_loss contract: per-shard losses aggregate weighted by the
+        # shards' VALID counts (a pure-padding tail shard returns 0 and must
+        # carry zero weight, or padding dilutes the batch loss). Equal to the
+        # plain mean when every shard is full.
+        counts = jnp.sum(vm_s, axis=1)
+        clip_val = jnp.sum(shard_losses * counts) / jnp.maximum(jnp.sum(counts), 1.0)
     else:
+        # cfg.local_loss (open_clip variant): per-shard logits against the
+        # gathered features — only meaningful under an explicit gathered axis
         clip_val = clip_loss(img_norm, txt_norm, logit_scale, axis_name=clip_axis,
-                             valid_mask=vm)
+                             local_loss=clip_local, valid_mask=vm)
 
     # 4) UniCL tri-modal loss on post-attention features (proof.py:434-441)
     unicl_val, _ = unicl_loss(
@@ -421,6 +430,7 @@ def _loss_kwargs(cfg, dims: ProofDims, clip_axis: Optional[str],
         parity_no_grad_ce=bool(cfg.parity_mode),
         clip_axis=clip_axis,
         clip_shards=int(clip_shards),
+        clip_local=bool(cfg.get("local_loss", False)),
     )
 
 

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 
 from team_tpu.modules.temporal_gcn import temporal_gcn_forward
 
+from team_tpu.utils.jmath import l2_normalize
+
 # lifecycle type codes
 LARVA_TO_ADULT, NYMPH_TO_ADULT, ADULT_ONLY, UNKNOWN = 0, 1, 2, 3
 
@@ -54,7 +56,17 @@ class EvolutionResult(NamedTuple):
 
 
 def detect_lifecycle_types(proto_mask: jax.Array) -> jax.Array:
-    """Vectorized ``_detect_evolution_type`` (reference ``:53-66``)."""
+    """Vectorized ``_detect_evolution_type`` (reference ``:53-66``).
+
+    The insect-lifecycle semantics hard-code state ids 1 (larva), 3 (nymph)
+    and 4 (adult) — exactly as the reference does — so the state axis must
+    have at least 5 slots. Validated at trace time (shapes are static) so a
+    too-small ``num_states`` config fails loudly instead of mis-indexing."""
+    if proto_mask.shape[1] < 5:
+        raise ValueError(
+            "detect_lifecycle_types needs num_states >= 5 (state ids 1/3/4 "
+            f"encode larva/nymph/adult, reference models/state_evolution.py); "
+            f"got num_states={proto_mask.shape[1]}")
     has1 = proto_mask[:, 1] > 0
     has3 = proto_mask[:, 3] > 0
     has4 = proto_mask[:, 4] > 0
@@ -158,7 +170,7 @@ def evolve_and_update(
     lifecycle_valid = participating
 
     # pairwise state distances over updated node features (reference ``:345-366``)
-    un = new_flat / jnp.maximum(jnp.linalg.norm(new_flat, axis=-1, keepdims=True), 1e-12)
+    un = l2_normalize(new_flat)
     cos = un @ un.T
     dvals = (1.0 - cos) * pair_valid * not_self
     pv = (pair_valid & not_self).astype(jnp.float32)
@@ -201,7 +213,7 @@ def fuse_evolved_prototypes(
         fused = evolved
     else:
         mix = alpha * original + (1.0 - alpha) * evolved
-        fused = mix / jnp.maximum(jnp.linalg.norm(mix, axis=-1, keepdims=True), 1e-12)
+        fused = l2_normalize(mix)
     keep = (proto_mask > 0) & updated_any
     return jnp.where(keep[:, :, None], fused, original)
 
@@ -220,6 +232,6 @@ def sync_class_prototypes(
     w = jnp.where(jnp.arange(s) == 4, adult_weight, 1.0)[None, :] * proto_mask
     total = jnp.sum(w, axis=1, keepdims=True)
     mixed = jnp.sum(proto_state * w[:, :, None], axis=1) / jnp.maximum(total, 1e-12)
-    mixed = mixed / jnp.maximum(jnp.linalg.norm(mixed, axis=-1, keepdims=True), 1e-12)
+    mixed = l2_normalize(mixed)
     has_any = total[:, 0] > 0
     return jnp.where(has_any[:, None], mixed, img_prototypes)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from team_tpu.modules.linears import NEG_INF
 
+from team_tpu.utils.jmath import l2_normalize
+
 
 def init_simple_linear(key: jax.Array, in_features: int, out_features: int) -> Dict:
     """Kaiming-uniform weight (linear nonlinearity -> gain 1), zero bias."""
@@ -55,8 +57,8 @@ def init_cosine_proxy_linear(key: jax.Array, in_features: int, out_classes: int,
 
 def cosine_proxy_forward(params: Dict, x: jax.Array, to_reduce: bool = True) -> jax.Array:
     """CosineLinear with proxies (``convs/linears.py:31-61``)."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-    wn = params["weight"] / jnp.maximum(jnp.linalg.norm(params["weight"], axis=-1, keepdims=True), 1e-12)
+    xn = l2_normalize(x)
+    wn = l2_normalize(params["weight"])
     out = xn @ wn.T
     if to_reduce:
         out = reduce_proxies(out, int(params["nb_proxy"]))
@@ -67,10 +69,10 @@ def split_cosine_forward(old_params: Dict, new_params: Dict, sigma: jax.Array,
                          x: jax.Array, nb_proxy: int = 1) -> Dict[str, jax.Array]:
     """SplitCosineLinear (``convs/linears.py:64-94``): separate old/new class
     banks concatenated, proxy-reduced, shared sigma; returns old/new/joint."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    xn = l2_normalize(x)
 
     def cos(w):
-        wn = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        wn = l2_normalize(w)
         return xn @ wn.T
 
     out1, out2 = cos(old_params["weight"]), cos(new_params["weight"])

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from team_tpu.modules.evolution import LARVA_TO_ADULT, NYMPH_TO_ADULT
 
+from team_tpu.utils.jmath import l2_normalize
+
 
 def _linear(key, d_in, d_out):
     bound = 1.0 / jnp.sqrt(jnp.asarray(float(d_in)))
@@ -72,7 +74,7 @@ def evolution_trajectory(projectors: Dict[str, Dict], src_state: int,
         alpha = i / (num_steps - 1)
         delta = (feat @ p["w"] + p["b"]) * (alpha / 2.0)
         evolved = feat + delta
-        evolved = evolved / jnp.maximum(jnp.linalg.norm(evolved), 1e-12)
+        evolved = l2_normalize(evolved, axis=None, keepdims=False)
         # step 0 keeps the original feature
         out = jnp.where(i == 0, feat, evolved)
         nxt = jnp.where(i < num_steps - 1, out, feat)

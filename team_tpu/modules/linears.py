@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from team_tpu.utils.jmath import l2_normalize
+
 NEG_INF = -1e30
 
 
@@ -24,7 +26,7 @@ def init_cosine_linear(key: jax.Array, max_classes: int, in_features: int):
 
 def cosine_linear_forward(params, x: jax.Array, class_mask: jax.Array) -> jax.Array:
     """``x: [B, D]`` -> masked logits ``[B, max_classes]``."""
-    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+    xn = l2_normalize(x)
     wn = params["weight"] / jnp.maximum(
         jnp.linalg.norm(params["weight"], axis=-1, keepdims=True), 1e-12
     )

@@ -20,11 +20,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from team_tpu.utils.jmath import l2_normalize
+
 
 def biological_prior_matrix(num_states: int = 10) -> np.ndarray:
     """Prior distances (reference ``utils/state_distance.py:20-43``):
     larva(1)↔adult(4)=2.0, nymph(3)↔adult(4)=0.7, larva(1)↔pupa(2)=1.5,
     egg(0)↔everything=1.8 (egg diag 1.0), all else 1.0."""
+    if num_states < 5:
+        raise ValueError(
+            "biological_prior_matrix hard-codes state ids 1/2/3/4 "
+            "(larva/pupa/nymph/adult, reference utils/state_distance.py); "
+            f"num_states must be >= 5, got {num_states}")
     m = np.ones((num_states, num_states), dtype=np.float32)
     m[1, 4] = m[4, 1] = 2.0
     m[3, 4] = m[4, 3] = 0.7
@@ -122,7 +129,7 @@ def ema_update(dist: jax.Array, state_features: jax.Array, state_ids: jax.Array,
     present = counts > 0
     present = present.at[0].set(False)  # reference loops state_id in range(1, S)
     centers = (onehot.T @ state_features) / jnp.maximum(counts[:, None], 1.0)
-    cn = centers / jnp.maximum(jnp.linalg.norm(centers, axis=-1, keepdims=True), 1e-12)
+    cn = l2_normalize(centers)
     sim = cn @ cn.T
     new_d = 2.0 - sim
     pair = (present[:, None] & present[None, :]) & ~jnp.eye(num_states, dtype=bool)

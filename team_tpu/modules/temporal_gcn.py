@@ -20,6 +20,8 @@ from typing import Any, Dict, List
 import jax
 import jax.numpy as jnp
 
+from team_tpu.utils.jmath import l2_normalize
+
 Params = Dict[str, Any]
 
 
@@ -121,4 +123,4 @@ def temporal_gcn_forward(
         x = _block_forward(blk, x, adj, edge_mask)
     op = params["output_proj"]
     out = x @ op["w"] + op["b"]
-    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    return l2_normalize(out)

@@ -26,12 +26,24 @@ from team_tpu.utils.toolkit import count_parameters, set_random, setup_logging
 
 
 def train(cfg: Config) -> Dict[str, List[float]]:
+    """Run the protocol once per seed (reference ``trainer.py:10-14``).
+
+    Returns the LAST seed's metric dict (curves, avg acc — unchanged shape
+    for single-seed callers) plus ``"per_seed"``: every seed's full result,
+    so multi-seed runs don't silently drop all but the final run."""
     seed_list = copy.deepcopy(cfg.seed)
-    result = {}
+    if not isinstance(seed_list, (list, tuple)):
+        seed_list = [seed_list]
+    result: Dict = {}
+    per_seed: Dict = {}
     for seed in seed_list:
         run_cfg = copy.deepcopy(cfg)
         run_cfg.seed = [seed]
         result = _train(run_cfg)
+        per_seed[int(seed)] = result
+    if len(per_seed) > 1:
+        result = dict(result)
+        result["per_seed"] = per_seed
     return result
 
 

@@ -452,3 +452,23 @@ def test_cifar224_manager_protocol(tmp_path, rng):
     assert ds.deterministic_train
     ds_t = dm.get_dataset(np.arange(0, 10), source="test", mode="test")
     assert len(ds_t) == 20
+
+
+def test_prefetch_loader_propagates_producer_errors(tmp_path, rng):
+    """A decode error in the prefetch producer thread must RAISE in the
+    consumer, not silently truncate the epoch (the feature cache, prototypes
+    and eval loops would all run on partial data with no signal)."""
+    good = tmp_path / "ok.png"
+    Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(good)
+    paths = np.asarray([str(good), str(tmp_path / "missing.png")], dtype=object)
+    ds = TeamDataset(paths, np.asarray([0, 1]), np.asarray([0, 0]),
+                     "test", use_path=True)
+    loader = ArrayLoader(ds, batch_size=1, image_size=16, prefetch=2,
+                         use_native=False)
+    with pytest.raises(Exception):
+        list(loader)
+    # the non-prefetching path raises too (control)
+    loader0 = ArrayLoader(ds, batch_size=1, image_size=16, prefetch=0,
+                          use_native=False)
+    with pytest.raises(Exception):
+        list(loader0)

@@ -145,6 +145,10 @@ def test_full_protocol_ten_tasks():
     avg = float(np.mean(res["cnn_top1"]))
     assert avg >= 12.0, f"10-task avg accuracy {avg} fell below the 12% floor (chance 5%)"
     assert res["cnn_top1"][0] >= 40.0, "first task stopped learning"
+    # multi-seed: EVERY seed's result is returned, not just the last run's
+    assert set(res["per_seed"]) == {1, 2}
+    for seed_res in res["per_seed"].values():
+        assert len(seed_res["cnn_top1"]) == 10
     logs = glob.glob("/tmp/team_logs/proof/synthetic_insects/0/2/metrics.jsonl")
     assert logs
     lines = [json.loads(l) for l in open(logs[0])]

@@ -214,6 +214,49 @@ def test_per_shard_clip_loss_value(rng):
                                rtol=1e-6)
 
 
+def test_per_shard_clip_loss_ignores_pure_padding_shards(rng):
+    """Pad-don't-drop under clip_shards>1: per-shard losses aggregate weighted
+    by VALID counts, so tail shards made entirely of padding carry zero weight
+    — the padded batch's clip term equals the unpadded batch's under the same
+    real-row shard layout (a plain mean would scale it by the non-empty
+    fraction)."""
+    from team_tpu.learners.proof_net import (
+        ProofDims, TaskContext, init_buffers, init_proof_params, proof_loss,
+    )
+
+    dims = ProofDims(feature_dim=8, max_classes=6, max_tasks=2, ctx_len=2)
+    tr, _ = init_proof_params(jax.random.PRNGKey(0), dims, 2.0)
+    ctx = TaskContext(
+        task_mask=jnp.asarray([1.0, 0.0]), cur_onehot=jnp.asarray([1.0, 0.0]),
+        class_mask=jnp.asarray([1, 1, 1, 0, 0, 0], jnp.float32),
+        class_text_basic=jax.random.normal(jax.random.PRNGKey(1), (6, 8)),
+    )
+    buffers = init_buffers(dims)
+    feat = rng.standard_normal((8, 8)).astype(np.float32)
+    label = rng.integers(0, 3, 8).astype(np.int32)
+    stage = rng.integers(1, 5, 8).astype(np.int32)
+    kw = dict(max_epoch=2, temperature=0.07, instance_weight=1.0,
+              category_weight=0.5, unicl_weight=0.3, num_states=10,
+              parity_no_grad_ce=True)
+    rng_key = jax.random.PRNGKey(2)
+    # unpadded: 8 real rows in 2 shards of 4
+    _, s_ref = proof_loss(
+        tr, {"feat": jnp.asarray(feat), "label": jnp.asarray(label),
+             "stage_id": jnp.asarray(stage)},
+        ctx, buffers, rng_key, jnp.asarray(0), clip_shards=2, **kw)
+    # padded to 16 rows in 4 shards of 4: shards 2-3 are pure padding
+    pad = {
+        "feat": jnp.asarray(np.concatenate([feat, np.zeros_like(feat)])),
+        "label": jnp.asarray(np.concatenate([label, np.zeros_like(label)])),
+        "stage_id": jnp.asarray(np.concatenate([stage, np.ones_like(stage)])),
+        "valid_mask": jnp.asarray([1.0] * 8 + [0.0] * 8),
+    }
+    _, s_pad = proof_loss(tr, pad, ctx, buffers, rng_key, jnp.asarray(0),
+                          clip_shards=4, **kw)
+    np.testing.assert_allclose(float(s_pad.clip_loss), float(s_ref.clip_loss),
+                               rtol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # end-to-end: several fix-mode knobs at once
 # ---------------------------------------------------------------------------
@@ -272,3 +315,22 @@ def test_stage_first_replay_respects_memory_budget():
         assert learner.exemplar_size <= per_class * learner._total_classes, (
             learner.exemplar_size, per_class, learner._total_classes)
         assert learner.exemplar_size <= cfg.memory_size
+
+
+def test_stage_first_replay_budget_with_more_states_than_slots():
+    """The overflow case: per-class quota m=1 but every synthetic class has 2
+    lifecycle states present. The reference's max(m//n_states, 1) floor would
+    store 2 exemplars per class (2x the budget); the fix-mode total-budget
+    path must cap the class total at m."""
+    from team_tpu.data.manager import DataManager
+    from team_tpu.learners.factory import get_model
+
+    cfg = _cfg(parity_mode=False, stage_first_replay=True, memory_size=4,
+               fixed_memory=False)
+    dm = DataManager(cfg.dataset, cfg.shuffle, 3, cfg.init_cls, cfg.increment,
+                     **cfg.get("dataset_kwargs", {}))
+    learner = get_model("proof", cfg)
+    learner.incremental_train(dm)
+    learner.after_task()
+    assert learner.samples_per_class == 1
+    assert learner.exemplar_size <= cfg.memory_size, learner.exemplar_size

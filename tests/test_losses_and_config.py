@@ -137,3 +137,20 @@ def test_restore_frozen_slices(rng):
     # non-bank leaves keep the update (sel_attn, state_embed, logit_scale)
     np.testing.assert_allclose(np.asarray(restored["state_embed"]),
                                np.asarray(tr["state_embed"] + 1.0))
+
+
+def test_evaluate_zs_pads_when_fewer_classes_than_topk():
+    """Zero-shot eval with fewer total classes than topk: y_pred has k<topk
+    columns; the tiled top-k comparison must pad (as _eval_cnn does) instead
+    of crashing on a shape mismatch."""
+    from team_tpu.learners.base import BaseLearner
+
+    class _Z:  # duck-typed host for the method under test
+        _total_classes = 2
+        topk = 4
+
+    y_true = np.asarray([0, 1, 1])
+    y_pred = np.asarray([[0, 1], [0, 1], [1, 0]])  # only 2 class columns
+    ret = BaseLearner._evaluate_zs(_Z(), y_pred, y_true)
+    assert ret["top4"] == 100.0  # every label is inside the 2 real columns
+    assert 0.0 <= ret["top1"] <= 100.0

@@ -321,3 +321,21 @@ def test_evolution_two_state_class_zero_weight_intra_edge(rng):
                             jnp.full((1,), UNKNOWN, jnp.int32))
     assert not np.allclose(np.asarray(res.prototypes[0, 1]), protos[0, 1])
     assert bool(res.embed_valid[0])
+
+
+def test_lifecycle_semantics_require_five_states():
+    """The lifecycle semantics hard-code state ids 1/3/4 (larva/nymph/adult,
+    as the reference does); num_states < 5 must fail loudly instead of
+    mis-indexing or silently mis-weighting."""
+    import pytest
+
+    from team_tpu.modules.evolution import detect_lifecycle_types
+    from team_tpu.modules.state_distance import biological_prior_matrix
+
+    with pytest.raises(ValueError, match="num_states"):
+        biological_prior_matrix(4)
+    with pytest.raises(ValueError, match="num_states"):
+        detect_lifecycle_types(jnp.ones((3, 4)))
+    # >= 5 still works
+    assert biological_prior_matrix(5).shape == (5, 5)
+    assert detect_lifecycle_types(jnp.ones((3, 5))).shape == (3,)
