@@ -29,7 +29,8 @@ class TaskCheckpointer:
     def _path(self, task: int) -> str:
         return os.path.join(self.directory, f"task_{task}")
 
-    def save(self, task: int, model, curves: Dict[str, List[float]]) -> None:
+    def save(self, task: int, model, curves: Dict[str, List[float]],
+             nme_curves: Optional[Dict[str, List[float]]] = None) -> None:
         state = {
             "task": np.asarray(task),
             "known_classes": np.asarray(model._known_classes),
@@ -37,6 +38,8 @@ class TaskCheckpointer:
             "curves": {k: np.asarray(v) for k, v in curves.items()},
             "rng": np.asarray(getattr(model, "_rng", jax.random.PRNGKey(0))),
         }
+        if nme_curves is not None and any(len(v) for v in nme_curves.values()):
+            state["nme_curves"] = {k: np.asarray(v) for k, v in nme_curves.items()}
         if getattr(model, "trainable", None) is not None:
             state["trainable"] = model.trainable
             state["aux"] = model.aux
@@ -71,7 +74,9 @@ class TaskCheckpointer:
                     pass
         return max(tasks) if tasks else None
 
-    def restore_latest(self, model, curves: Dict[str, List[float]]) -> Optional[int]:
+    def restore_latest(self, model, curves: Dict[str, List[float]],
+                       nme_curves: Optional[Dict[str, List[float]]] = None
+                       ) -> Optional[int]:
         task = self.latest_task()
         if task is None:
             return None
@@ -81,6 +86,9 @@ class TaskCheckpointer:
         model._total_classes = int(state["total_classes"])
         for k, v in state.get("curves", {}).items():
             curves[k] = list(np.asarray(v))
+        if nme_curves is not None:
+            for k, v in (state.get("nme_curves") or {}).items():
+                nme_curves[k] = list(np.asarray(v))
         if "trainable" in state:
             from team_tpu.learners.proof_net import ProofBuffers
 

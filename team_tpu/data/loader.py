@@ -219,6 +219,20 @@ class ArrayLoader:
                 return
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
             stop = object()
+            # set when the consumer abandons the generator (break / exception
+            # in the consuming loop): the producer must stop queueing or it
+            # blocks forever on a full queue and leaks the thread + prefetch
+            # batches every abandoned epoch
+            cancelled = threading.Event()
+
+            def put(item) -> bool:
+                while not cancelled.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
 
             def producer():
                 # a raised exception must reach the CONSUMER: a bare
@@ -228,20 +242,27 @@ class ArrayLoader:
                 # truncated dataset
                 try:
                     for b in range(nb):
+                        if cancelled.is_set():
+                            return
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                        q.put(self._make_batch(idxs, pool, rng))
-                    q.put(stop)
+                        if not put(self._make_batch(idxs, pool, rng)):
+                            return
+                    put(stop)
                 except BaseException as e:  # pragma: no cover - rethrown below
-                    q.put(e)
+                    put(e)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
-            while True:
-                item = q.get()
-                if item is stop:
-                    break
-                if isinstance(item, BaseException):
-                    t.join()
-                    raise item
-                yield item
-            t.join()
+            try:
+                while True:
+                    item = q.get()
+                    if item is stop:
+                        break
+                    if isinstance(item, BaseException):
+                        t.join()
+                        raise item
+                    yield item
+                t.join()
+            finally:
+                cancelled.set()
+                t.join()

@@ -74,7 +74,10 @@ class MeshContext:
             n = x.shape[0]
             rem = (-n) % self.n_data
             if rem:
-                x = np.concatenate([x, x[:rem]], axis=0)
+                # tile: rem can exceed n when the batch is smaller than the
+                # data axis (e.g. 3 samples on an 8-device mesh needs 5 pads)
+                reps = np.tile(np.arange(n), -(-rem // n))[:rem]
+                x = np.concatenate([x, x[reps]], axis=0)
             return x
 
         valid = jax.tree_util.tree_leaves(tree)[0].shape[0]

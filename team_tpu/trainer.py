@@ -73,7 +73,7 @@ def _train(cfg: Config) -> Dict[str, List[float]]:
 
         checkpointer = TaskCheckpointer(cfg.checkpoint_dir)
         if cfg.resume:
-            restored = checkpointer.restore_latest(model, cnn_curve)
+            restored = checkpointer.restore_latest(model, cnn_curve, nme_curve)
             if restored is not None:
                 logging.info("resumed from task %d", restored)
 
@@ -124,7 +124,7 @@ def _train(cfg: Config) -> Dict[str, List[float]]:
                 logging.error("distance-matrix visualization failed: %s", e)
 
         if checkpointer is not None:
-            checkpointer.save(task, model, cnn_curve)
+            checkpointer.save(task, model, cnn_curve, nme_curve)
 
         # machine-readable metrics stream (one JSON object per task)
         import json

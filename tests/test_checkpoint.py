@@ -28,9 +28,12 @@ def test_checkpoint_save_and_resume(tmp_path):
     assert len(res_full["cnn_top1"]) == 3
 
     # resume run starts from the last saved task: nothing left to train,
-    # curves restored intact
+    # curves restored intact — including the NME curve (regression: it used
+    # to restart empty on resume, silently losing earlier tasks)
     res_resumed = train(_cfg(tmp, resume=True))
     np.testing.assert_allclose(res_resumed["cnn_top1"], res_full["cnn_top1"])
+    np.testing.assert_allclose(res_resumed["nme_top1"], res_full["nme_top1"])
+    assert len(res_full["nme_top1"]) == 3
 
     # partial resume: wipe the later checkpoints, keep task 0, retrain rest
     import shutil

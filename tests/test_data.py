@@ -472,3 +472,29 @@ def test_prefetch_loader_propagates_producer_errors(tmp_path, rng):
                           use_native=False)
     with pytest.raises(Exception):
         list(loader0)
+
+
+def test_prefetch_loader_abandoned_iteration_stops_producer(rng):
+    """A consumer that abandons the iterator mid-epoch (break / exception in
+    the consuming loop) must not leave the producer thread blocked on a full
+    queue forever — that leaks a thread + `prefetch` decoded batches per
+    abandoned epoch (e.g. a device error raised between dispatches)."""
+    import threading
+    import time
+
+    imgs = rng.integers(0, 255, (64, 16, 16, 3), dtype=np.uint8)
+    ds = TeamDataset(imgs, np.zeros(64, np.int64), np.zeros(64, np.int64),
+                     "test", use_path=False)
+    before = threading.active_count()
+    for _ in range(3):
+        loader = ArrayLoader(ds, batch_size=4, image_size=16, prefetch=2)
+        it = iter(loader)
+        next(it)
+        it.close()  # what GC / an exception in the consumer loop does
+    deadline = time.monotonic() + 10.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    # and a fresh full iteration over the same dataset still works
+    loader = ArrayLoader(ds, batch_size=4, image_size=16, prefetch=2)
+    assert sum(int(b["valid"]) for b in loader) == 64

@@ -24,6 +24,19 @@ def test_mesh_context_shard_batch(mesh):
     assert sharded["x"].shape[0] == 24  # padded to multiple of 8
 
 
+def test_mesh_context_shard_batch_smaller_than_axis(mesh):
+    """Regression: a batch smaller than half the data axis needs more pad rows
+    than it has samples (3 -> 8 requires 5 pads from 3 rows); the pad must
+    tile, not slice."""
+    ctx = MeshContext(mesh)
+    batch = {"x": np.arange(3, dtype=np.float32).reshape(3, 1)}
+    sharded, valid = ctx.shard_batch(batch)
+    assert valid == 3
+    assert sharded["x"].shape[0] == 8
+    np.testing.assert_array_equal(
+        np.asarray(sharded["x"]).ravel(), [0, 1, 2, 0, 1, 2, 0, 1])
+
+
 def test_global_clip_loss_matches_single_device(mesh):
     """Sharded global-batch CLIP loss == single-device loss on the full batch.
     This is the working version of the reference's broken gather_features path
