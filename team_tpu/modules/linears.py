@@ -27,9 +27,10 @@ def init_cosine_linear(key: jax.Array, max_classes: int, in_features: int):
 def cosine_linear_forward(params, x: jax.Array, class_mask: jax.Array) -> jax.Array:
     """``x: [B, D]`` -> masked logits ``[B, max_classes]``."""
     xn = l2_normalize(x)
-    wn = params["weight"] / jnp.maximum(
-        jnp.linalg.norm(params["weight"], axis=-1, keepdims=True), 1e-12
-    )
+    # l2_normalize, not w / max(norm, eps): forward is bitwise identical
+    # (sqrt(max(sq, 1e-24)) == max(sqrt(sq), 1e-12)) but the max-outside form
+    # leaks 0*inf NaNs through the VJP at ||w|| = 0 (CLAUDE.md grad safety)
+    wn = l2_normalize(params["weight"])
     logits = params["sigma"] * (xn @ wn.T)
     return jnp.where(class_mask[None, :] > 0, logits, NEG_INF)
 
