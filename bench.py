@@ -185,16 +185,50 @@ def main() -> None:
     }))
 
 
+def _preflight_ping(attempts: int = 3, ping_timeout: int = 150,
+                    sleep_s: int = 90) -> None:
+    """Backend-init watchdog for the unattended round-end run.
+
+    The axon tunnel has TWO failure modes (CLAUDE.md): a fast UNAVAILABLE
+    raise (handled by the re-exec below) and a HANG — ``jax.devices()`` can
+    block >5 min, and a hang inside ``main()`` would lose the round's bench
+    record entirely. So before initializing the backend in THIS process, ping
+    it in a disposable subprocess under a hard timeout; a hung ping is killed
+    and retried. Budget is bounded (~3*(150+90) s) so a driver-side timeout
+    still sees the retries finish. Best-effort: if the ping never succeeds we
+    fall through and let main() try anyway (the tunnel may admit new
+    connections even when the ping path is slow).
+    """
+    import subprocess
+
+    code = "import jax; print(jax.devices()[0].platform)"
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=ping_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+            _log(f"preflight ping failed (attempt {i + 1}/{attempts}): "
+                 + r.stderr.decode(errors="replace")[-200:].strip())
+        except subprocess.TimeoutExpired:
+            _log(f"preflight ping HUNG >{ping_timeout}s "
+                 f"(attempt {i + 1}/{attempts}) — tunnel likely down")
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    _log("preflight never succeeded — attempting main() anyway")
+
+
 if __name__ == "__main__":
     # The axon tunnel occasionally reports UNAVAILABLE at backend init
     # (observed 2026-08-17: healthy runs minutes apart around a dead window).
     # A failed init is cached inside the process, so retry by re-exec'ing a
     # CLEAN process — the round-end bench must not lose the record to one
-    # hiccup. Hangs are the driver's timeout to handle; this only covers the
-    # fast-fail path.
+    # hiccup. Hangs are caught by the subprocess preflight above.
     import os as _os
 
     try:
+        if not _os.environ.get("TEAM_BENCH_NO_PREFLIGHT"):
+            _preflight_ping()
         main()
     except RuntimeError as e:
         _tries = int(_os.environ.get("TEAM_BENCH_RETRY", "0"))
