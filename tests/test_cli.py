@@ -6,6 +6,47 @@ import subprocess
 import sys
 
 
+def test_bench_preflight_ping(monkeypatch):
+    """bench._preflight_ping: the round-end watchdog must survive BOTH tunnel
+    failure modes (hang -> TimeoutExpired, fast fail -> nonzero returncode)
+    without raising, and stop on the first healthy ping."""
+    import bench
+
+    calls = {"n": 0}
+
+    def ok(*a, **k):
+        calls["n"] += 1
+        class R:
+            returncode = 0
+            stderr = b""
+        return R()
+
+    monkeypatch.setattr(subprocess, "run", ok)
+    bench._preflight_ping(attempts=3, ping_timeout=1, sleep_s=0)
+    assert calls["n"] == 1  # healthy: one ping, no retries
+
+    def hang(cmd, timeout=None, **k):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    calls["n"] = 0
+    monkeypatch.setattr(subprocess, "run", hang)
+    bench._preflight_ping(attempts=2, ping_timeout=1, sleep_s=0)  # must not raise
+    assert calls["n"] == 2  # hung pings are killed and retried, bounded
+
+    def fail(*a, **k):
+        calls["n"] += 1
+        class R:
+            returncode = 1
+            stderr = b"UNAVAILABLE: tunnel down"
+        return R()
+
+    calls["n"] = 0
+    monkeypatch.setattr(subprocess, "run", fail)
+    bench._preflight_ping(attempts=2, ping_timeout=1, sleep_s=0)  # must not raise
+    assert calls["n"] == 2
+
+
 def test_main_cli_smoke():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
