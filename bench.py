@@ -186,7 +186,7 @@ def main() -> None:
 
 
 def _preflight_ping(attempts: int = 3, ping_timeout: int = 150,
-                    sleep_s: int = 90) -> None:
+                    sleep_s: int = 90) -> str:
     """Backend-init watchdog for the unattended round-end run.
 
     The axon tunnel has TWO failure modes (CLAUDE.md): a fast UNAVAILABLE
@@ -194,20 +194,27 @@ def _preflight_ping(attempts: int = 3, ping_timeout: int = 150,
     block >5 min, and a hang inside ``main()`` would lose the round's bench
     record entirely. So before initializing the backend in THIS process, ping
     it in a disposable subprocess under a hard timeout; a hung ping is killed
-    and retried. Budget is bounded (~3*(150+90) s) so a driver-side timeout
-    still sees the retries finish. Best-effort: if the ping never succeeds we
-    fall through and let main() try anyway (the tunnel may admit new
-    connections even when the ping path is slow).
+    and retried. Budget is bounded (attempts*timeout + (attempts-1)*sleep,
+    ~630 s for the defaults) so a driver-side timeout still sees the retries
+    finish.
+
+    Returns ``"ok"`` (ping succeeded), ``"fail"`` (at least one attempt died
+    FAST with a nonzero exit — init raises promptly, so main() + the re-exec
+    retry below can handle it), or ``"hang"`` (EVERY attempt timed out —
+    main() would very likely hang too and lose the record; the caller emits a
+    sentinel instead of falling through — ADVICE r4).
     """
     import subprocess
 
     code = "import jax; print(jax.devices()[0].platform)"
+    saw_fast_fail = False
     for i in range(attempts):
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                timeout=ping_timeout, capture_output=True)
             if r.returncode == 0:
-                return
+                return "ok"
+            saw_fast_fail = True
             _log(f"preflight ping failed (attempt {i + 1}/{attempts}): "
                  + r.stderr.decode(errors="replace")[-200:].strip())
         except subprocess.TimeoutExpired:
@@ -215,7 +222,7 @@ def _preflight_ping(attempts: int = 3, ping_timeout: int = 150,
                  f"(attempt {i + 1}/{attempts}) — tunnel likely down")
         if i + 1 < attempts:
             time.sleep(sleep_s)
-    _log("preflight never succeeded — attempting main() anyway")
+    return "fail" if saw_fast_fail else "hang"
 
 
 if __name__ == "__main__":
@@ -228,7 +235,20 @@ if __name__ == "__main__":
 
     try:
         if not _os.environ.get("TEAM_BENCH_NO_PREFLIGHT"):
-            _preflight_ping()
+            if _preflight_ping() == "hang":
+                # Every ping attempt HUNG: backend init in this process would
+                # hang too (>5 min observed) and the round would end with NO
+                # bench record at all. Emit an explicit sentinel and exit
+                # nonzero so the failure is a recorded fact, not a timeout
+                # (ADVICE r4; value 0 is unambiguous — no healthy run is 0).
+                print(json.dumps({
+                    "metric": "images/sec/chip CLIP ViT-B/16 image encode",
+                    "value": 0.0,
+                    "unit": "images/sec",
+                    "vs_baseline": 0.0,
+                    "error": "tpu tunnel down: all preflight pings hung",
+                }))
+                sys.exit(2)
         main()
     except RuntimeError as e:
         _tries = int(_os.environ.get("TEAM_BENCH_RETRY", "0"))

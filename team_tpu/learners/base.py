@@ -397,7 +397,7 @@ class BaseLearner:
             return np.argsort(d)[:m]
         if self.cfg.get("use_native_io", False):
             # C++ herding (native/team_io.cc): identical indices to the numpy
-            # loop (tests/test_native_io.py), much faster on this 1-core host
+            # loop (tests/test_data.py), much faster on this 1-core host
             from team_tpu.data import native_io
 
             if native_io.available():

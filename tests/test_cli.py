@@ -22,7 +22,7 @@ def test_bench_preflight_ping(monkeypatch):
         return R()
 
     monkeypatch.setattr(subprocess, "run", ok)
-    bench._preflight_ping(attempts=3, ping_timeout=1, sleep_s=0)
+    assert bench._preflight_ping(attempts=3, ping_timeout=1, sleep_s=0) == "ok"
     assert calls["n"] == 1  # healthy: one ping, no retries
 
     def hang(cmd, timeout=None, **k):
@@ -31,7 +31,9 @@ def test_bench_preflight_ping(monkeypatch):
 
     calls["n"] = 0
     monkeypatch.setattr(subprocess, "run", hang)
-    bench._preflight_ping(attempts=2, ping_timeout=1, sleep_s=0)  # must not raise
+    # ALL attempts hung -> "hang": the caller emits a sentinel JSON record
+    # and exits nonzero instead of hanging in main() (ADVICE r4)
+    assert bench._preflight_ping(attempts=2, ping_timeout=1, sleep_s=0) == "hang"
     assert calls["n"] == 2  # hung pings are killed and retried, bounded
 
     def fail(*a, **k):
@@ -43,7 +45,9 @@ def test_bench_preflight_ping(monkeypatch):
 
     calls["n"] = 0
     monkeypatch.setattr(subprocess, "run", fail)
-    bench._preflight_ping(attempts=2, ping_timeout=1, sleep_s=0)  # must not raise
+    # fast nonzero exits -> "fail": init raises promptly, main()'s re-exec
+    # retry path owns this mode, so the caller still runs main()
+    assert bench._preflight_ping(attempts=2, ping_timeout=1, sleep_s=0) == "fail"
     assert calls["n"] == 2
 
 
