@@ -191,9 +191,12 @@ class Learner(BaseLearner):
             np.arange(self._known_classes, self._total_classes), source="train", mode="test"
         )
 
+        from team_tpu.utils.phase_timer import phase
+
         # prototype computation from frozen normalized backbone features
         # (reference cal_prototype, proof.py:226-276)
-        self.cal_prototype(proto_ds)
+        with phase("prototype"):
+            self.cal_prototype(proto_ds)
 
         # cache frozen-backbone features for the whole task (exact: deterministic
         # transforms + frozen towers). ~20x fewer backbone FLOPs than the
@@ -210,7 +213,8 @@ class Learner(BaseLearner):
             # one persistent loader per task: its epoch counter advances on
             # every iteration so augmentation draws differ epoch to epoch
             self._stoch_loader = self._loader(train_ds, batch_size=EVAL_BATCH)
-            self._train_feats = self._encode_train_fresh()
+            with phase("feature_extract_train"):
+                self._train_feats = self._encode_train_fresh()
         else:
             if (self.cfg.get("augment_ops", None)
                     or not train_ds.deterministic_train):
@@ -225,12 +229,16 @@ class Learner(BaseLearner):
                         "stochastic train pipeline under multi-host: features "
                         "are encoded once per task (per-epoch re-encode is "
                         "single-host)")
-            self._train_feats = self._dataset_features(train_ds)
-        self._test_feats = self._dataset_features(test_ds)
+            with phase("feature_extract_train"):
+                self._train_feats = self._dataset_features(train_ds)
+        with phase("feature_extract_test"):
+            self._test_feats = self._dataset_features(test_ds)
 
-        self._train_proj_with_replay()
+        with phase("train_epochs"):
+            self._train_proj_with_replay()
 
-        self.build_rehearsal_memory(data_manager, self.samples_per_class)
+        with phase("rehearsal_memory"):
+            self.build_rehearsal_memory(data_manager, self.samples_per_class)
         self.state_distance.update_counter = 0
 
         if self.cfg.enable_plots:
@@ -245,8 +253,9 @@ class Learner(BaseLearner):
                 logging.error("state-evolution analysis failed: %s", e)
 
         # final evolution pass (reference proof.py:343-346)
-        self.integrate_with_state_distance()
-        self.evolve_state_prototypes()
+        with phase("evolution"):
+            self.integrate_with_state_distance()
+            self.evolve_state_prototypes()
 
     # ------------------------------------------------------------------
     def cal_prototype(self, proto_ds) -> None:

@@ -158,8 +158,10 @@ def install_reference_stubs() -> None:
 # tiny shared backbone
 # ---------------------------------------------------------------------------
 
-def make_tiny_backbone(seed: int = 7):
-    """Build the torch open_clip-spec tiny CLIP + its converted JAX params.
+def make_tiny_backbone(seed: int = 7, cfg=None):
+    """Build the torch open_clip-spec CLIP + its converted JAX params
+    (``cfg`` defaults to the tiny test config; pass
+    ``CLIPConfig.vit_b16()`` for the full-width parity run).
 
     Returns (torch_model, jax_params, clip_cfg, tokenizer_callable)."""
     import torch
@@ -169,7 +171,8 @@ def make_tiny_backbone(seed: int = 7):
     from team_tpu.backbone.tokenizer import Tokenizer
     from test_weight_import import TorchCLIP, openclip_state_dict
 
-    cfg = CLIPConfig.tiny()
+    if cfg is None:
+        cfg = CLIPConfig.tiny()
     torch.manual_seed(seed)
     model = TorchCLIP(cfg).eval()
     model.logit_scale = torch.nn.Parameter(
@@ -262,10 +265,11 @@ class _RecordingLoader:
 
 
 def run_reference(data_root: str, sandbox: str, args: Dict, torch_model,
-                  tokenizer) -> Dict:
-    """Run ``/root/reference`` ``trainer._train(args)`` with the tiny backbone;
-    returns the full record (curves, losses, orders, per-task init params,
-    dataset views)."""
+                  tokenizer, img_size: int = 32) -> Dict:
+    """Run ``/root/reference`` ``trainer._train(args)`` with the injected
+    backbone (tiny by default; ``img_size=224`` + a vit_b16 TorchCLIP for the
+    full-width run); returns the full record (curves, losses, orders,
+    per-task init params, dataset views)."""
     install_reference_stubs()
     import torch
 
@@ -284,7 +288,6 @@ def run_reference(data_root: str, sandbox: str, args: Dict, torch_model,
     }
 
     # --- dataset redirection -------------------------------------------------
-    img_size = 32
     stub_tf = sys.modules["torchvision.transforms"]
     pipeline = [
         stub_tf.Resize((img_size, img_size), stub_tf.InterpolationMode.BICUBIC),
@@ -567,9 +570,13 @@ def make_injecting_learner(cfg, rec):
     return InjectingLearner(cfg)
 
 
-def run_team(data_root: str, args: Dict, jax_params, rec) -> Dict:
+def run_team(data_root: str, args: Dict, jax_params, rec,
+             full_width: bool = False) -> Dict:
     """Replay the protocol through team_tpu (parity mode, f32, deterministic
-    fusion to match the dropout-zeroed reference)."""
+    fusion to match the dropout-zeroed reference). ``full_width=True`` runs
+    the REAL ViT-B/16 backbone config (VERDICT r4 item 4: width-dependent
+    numerics — D=512 reductions, S=197 fusion forms — are invisible at tiny
+    width)."""
     import team_tpu.learners.proof_net as proof_net
     from team_tpu.config import Config
     from team_tpu.data.manager import DataManager
@@ -605,7 +612,7 @@ def run_team(data_root: str, args: Dict, jax_params, rec) -> Dict:
             log_dir="/tmp/team_parity_logs",
             compute_dtype="float32",
             attention_impl="xla",
-            extras={"tiny_backbone": True},
+            extras={} if full_width else {"tiny_backbone": True},
         )
         dm = DataManager("iiminsects202", shuffle=args["shuffle"],
                          seed=args["seed"] if np.isscalar(args["seed"]) else args["seed"][0],
