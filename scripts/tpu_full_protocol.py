@@ -52,6 +52,11 @@ def main():
     t0 = time.time()
     res = train(cfg)
     wall = time.time() - t0
+    from team_tpu.utils import phase_timer
+
+    if phase_timer.ENABLED:
+        print("--- phase attribution (TEAM_PHASE_TIMES=1) ---")
+        print(phase_timer.format_report())
     curve = [float(x) for x in res["cnn_top1"]]
     avg = float(np.mean(res["avg_acc"]))  # one entry per seed
     print(f"full protocol [{model}/{tier}] done in {wall:.1f}s")

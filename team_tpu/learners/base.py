@@ -205,17 +205,21 @@ class BaseLearner:
                 rows = missing[host_shard_indices(len(missing))]
             chunks = []
             if len(rows):
+                from team_tpu.utils.phase_timer import phase
+
                 loader = self._loader(ds, batch_size=batch_size, indices=rows)
                 # dispatch ALL batches, then fetch ONCE via a device-side
                 # concatenate: every host fetch is a ~28 ms tunnel round
                 # trip, so per-batch fetches serialize the whole extraction
                 # on RTT (docs/BENCH.md round-4 chain probe)
                 pending = []
-                for batch in loader:
-                    v = int(batch.get("valid", len(batch["label"])))
-                    pending.append((batch["index"], v,
-                                    self.extract_vector(jnp.asarray(batch["image"]))))
-                stacked, offs = _fetch_concat([f for _, _, f in pending])
+                with phase("cache_fill_dispatch"):
+                    for batch in loader:
+                        v = int(batch.get("valid", len(batch["label"])))
+                        pending.append((batch["index"], v,
+                                        self.extract_vector(jnp.asarray(batch["image"]))))
+                with phase("cache_fill_fetch"):
+                    stacked, offs = _fetch_concat([f for _, _, f in pending])
                 for (idx, v, _), off in zip(pending, offs):
                     feats = stacked[off:off + v]
                     if multi:
@@ -284,17 +288,22 @@ class BaseLearner:
         return ret
 
     def eval_task(self):
-        y_pred, y_true = self._eval_cnn(self.test_loader)
-        cnn_accy = self._evaluate(y_pred, y_true)
+        from team_tpu.utils.phase_timer import phase
+
+        with phase("eval_cnn"):
+            y_pred, y_true = self._eval_cnn(self.test_loader)
+            cnn_accy = self._evaluate(y_pred, y_true)
 
         if getattr(self, "_class_means", None) is not None:
-            y_pred, y_true = self._eval_nme(self.test_loader, self._class_means)
-            nme_accy = self._evaluate(y_pred, y_true)
+            with phase("eval_nme"):
+                y_pred, y_true = self._eval_nme(self.test_loader, self._class_means)
+                nme_accy = self._evaluate(y_pred, y_true)
         else:
             nme_accy = None
 
-        y_pred, y_true = self._eval_zero_shot()
-        zs = self._evaluate_zs(y_pred, y_true)
+        with phase("eval_zero_shot"):
+            y_pred, y_true = self._eval_zero_shot()
+            zs = self._evaluate_zs(y_pred, y_true)
         g = zs["grouped"]
         return cnn_accy, nme_accy, g["old"], g["new"], g["harmonic"], g["total"]
 

@@ -173,8 +173,12 @@ class Learner(BaseLearner):
         self._cur_task += 1
         self._total_classes = self._known_classes + data_manager.get_task_size(self._cur_task)
         self.data_manager = data_manager
-        self._ensure_initialized(data_manager)
-        self.ctx = self._make_ctx()
+        from team_tpu.utils.phase_timer import phase
+
+        with phase("ensure_initialized"):
+            self._ensure_initialized(data_manager)
+        with phase("make_ctx_text"):
+            self.ctx = self._make_ctx()
         self._ctx_global = None  # re-replicated per task under multi-host
         logging.info("Learning on %d-%d", self._known_classes, self._total_classes)
 
@@ -190,8 +194,6 @@ class Learner(BaseLearner):
         proto_ds = data_manager.get_multimodal_dataset(
             np.arange(self._known_classes, self._total_classes), source="train", mode="test"
         )
-
-        from team_tpu.utils.phase_timer import phase
 
         # prototype computation from frozen normalized backbone features
         # (reference cal_prototype, proof.py:226-276)

@@ -87,14 +87,19 @@ def _train(cfg: Config) -> Dict[str, List[float]]:
         start_time = time.time()
 
         from team_tpu.analysis.profiler import trace
+        from team_tpu.utils.phase_timer import phase
 
         with trace(cfg.profile_dir, name=f"task_{task}"):
-            model.incremental_train(data_manager)
-        cnn_accy, nme_accy, zs_seen, zs_unseen, zs_harmonic, zs_total = model.eval_task()
-        model.after_task()
+            with phase("incremental_train"):
+                model.incremental_train(data_manager)
+        with phase("eval_task"):
+            cnn_accy, nme_accy, zs_seen, zs_unseen, zs_harmonic, zs_total = model.eval_task()
+        with phase("after_task"):
+            model.after_task()
         if hasattr(model, "update_state_distance_matrix"):
             logging.info("updating state distance matrix...")
-            model.update_state_distance_matrix(data_manager)
+            with phase("distance_matrix"):
+                model.update_state_distance_matrix(data_manager)
 
         elapsed = time.time() - start_time
         logging.info("task %d took %.2fs", task + 1, elapsed)
