@@ -115,10 +115,16 @@ class Learner(BaseLearner):
         )
         if self.trainable is None:  # may already be set by checkpoint restore
             key, self._rng = _split(self._rng)
-            self.trainable, self.aux = init_proof_params(
-                key, self.dims, float(self.backbone.logit_scale)
-            )
-            self.buffers = init_buffers(self.dims)
+            # ONE jitted init graph: the eager form issues ~100 tiny remote
+            # dispatches (bank inits + zeros), each a ~1 s tunnel round trip
+            # even when compile-cached — measured 135.9 s of task-1 time in
+            # the round-5 protocol profile (docs/BENCH.md). Values are
+            # bitwise-identical (threefry RNG is deterministic under jit;
+            # pinned by the golden-protocol tests).
+            dims, ls = self.dims, float(self.backbone.logit_scale)
+            (self.trainable, self.aux), self.buffers = jax.jit(
+                lambda k: (init_proof_params(k, dims, ls), init_buffers(dims))
+            )(key)
         self._tx = make_optimizer(self.cfg)
         # optional data-parallel mesh: batch sharded over ICI, params replicated;
         # the SPMD partitioner turns the CLIP loss into a global-batch loss with
@@ -274,6 +280,11 @@ class Learner(BaseLearner):
                 smask = idx & (stages == state_id)
                 proto_state[class_index, int(state_id)] = feats[smask].mean(axis=0)
                 proto_mask[class_index, int(state_id)] = 1.0
+        # host-side emptiness flag: evolve_state_prototypes' guard was a
+        # device fetch (~28 ms) on EVERY call — proto_mask is only ever
+        # written here (from this numpy array) and at zero-init, so the flag
+        # is host-knowable (checkpoint restore recomputes it lazily once)
+        self._proto_mask_any = bool(proto_mask.sum() > 0)
         self.buffers = self.buffers._replace(
             img_prototypes=jnp.asarray(img_protos),
             proto_state=jnp.asarray(proto_state),
@@ -395,9 +406,6 @@ class Learner(BaseLearner):
                 order = shuffle_rng.permutation(n)
             else:
                 order = np.asarray(order)
-            losses = unicl_losses = 0.0
-            ce_losses = clip_losses = 0.0
-            correct = 0
             epoch_arr = jnp.asarray(epoch)
 
             pad = k_full * bs - n
@@ -410,6 +418,7 @@ class Learner(BaseLearner):
                 vms = np.pad(vms, ((0, 0), (0, bs_eff - bs)))
 
             offset = 0
+            pending_stats = []
             for chunk in _pow2_chunks(k_full):
                 sl = slice(offset, offset + chunk)
                 batches = self._put_stacked({
@@ -423,12 +432,19 @@ class Learner(BaseLearner):
                 self.trainable, opt_state, tot = self._call_epoch_runner(
                     opt_state, batches, rngs, epoch_arr,
                 )
-                losses += float(tot.total_loss)
-                unicl_losses += float(tot.unicl_loss)
-                ce_losses += float(tot.ce_loss)
-                clip_losses += float(tot.clip_loss)
-                correct += int(tot.correct)
+                pending_stats.append(jnp.stack([
+                    tot.total_loss, tot.unicl_loss, tot.ce_loss,
+                    tot.clip_loss, tot.correct.astype(jnp.float32)]))
                 offset += chunk
+            # ONE host fetch for the whole epoch's stats: each float()/int()
+            # on a separate device scalar is its own ~28 ms tunnel round trip
+            # (was 5 fetches × ~4 chunks per epoch ≈ 100 s over a 10-task/
+            # 20-epoch protocol — docs/BENCH.md round-5 profile). correct is
+            # an exact small count, so the f32 stack is lossless.
+            st = np.asarray(jnp.stack(pending_stats)).astype(np.float64).sum(axis=0)
+            losses, unicl_losses, ce_losses, clip_losses = (
+                float(st[0]), float(st[1]), float(st[2]), float(st[3]))
+            correct = int(st[4])
             total = n
 
             train_acc = np.around(correct * 100 / total, 2)
@@ -529,9 +545,16 @@ class Learner(BaseLearner):
         return {k: jnp.asarray(v) for k, v in tree.items()}
 
     # ------------------------------------------------------------------
+    def _protos_nonempty(self) -> bool:
+        flag = getattr(self, "_proto_mask_any", None)
+        if flag is None:  # e.g. buffers restored from a checkpoint
+            flag = self._proto_mask_any = bool(
+                float(jnp.sum(self.buffers.proto_mask)) > 0)
+        return flag
+
     def evolve_state_prototypes(self):
         """Reference ``Proof_Net.evolve_state_prototypes`` (inc_net.py:582-598)."""
-        if not self._temporal_on or float(jnp.sum(self.buffers.proto_mask)) == 0:
+        if not self._temporal_on or not self._protos_nonempty():
             return None
         res = evolve_and_update(
             self.aux["temporal_gcn"], self.buffers.proto_state,

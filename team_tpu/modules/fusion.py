@@ -25,11 +25,20 @@ def init_fusion(key: jax.Array, n_head: int, d_model: int, d_k: int, d_v: int):
     std_v = jnp.sqrt(2.0 / (d_model + d_v))
     # xavier-normal for the output projection (reference nn.init.xavier_normal_)
     std_fc = jnp.sqrt(2.0 / (n_head * d_v + d_model))
+
+    def _normal(kk, shape):
+        # barrier so the trailing `* std` cannot FMA-fuse into the normal's
+        # erf_inv chain under jit: the ONE-graph jitted init (learners/proof.py)
+        # must be bitwise-identical to the historical eager init on TPU, and
+        # these four products were the only drifting leaves
+        # (scripts/r5_init_bitwise_probe.py). Init-only, so the barrier is free.
+        return jax.lax.optimization_barrier(jax.random.normal(kk, shape))
+
     return {
-        "w_qs": jax.random.normal(k[0], (d_model, n_head * d_k)) * std_qk,
-        "w_ks": jax.random.normal(k[1], (d_model, n_head * d_k)) * std_qk,
-        "w_vs": jax.random.normal(k[2], (d_model, n_head * d_v)) * std_v,
-        "fc_w": jax.random.normal(k[3], (n_head * d_v, d_model)) * std_fc,
+        "w_qs": _normal(k[0], (d_model, n_head * d_k)) * std_qk,
+        "w_ks": _normal(k[1], (d_model, n_head * d_k)) * std_qk,
+        "w_vs": _normal(k[2], (d_model, n_head * d_v)) * std_v,
+        "fc_w": _normal(k[3], (n_head * d_v, d_model)) * std_fc,
         "fc_b": jnp.zeros((d_model,)),
         "ln": {"scale": jnp.ones((d_model,)), "bias": jnp.zeros((d_model,))},
     }

@@ -72,11 +72,15 @@ class StateDistanceMatrix:
         ``models/proof.py:665-682``). ``gcn_dist/valid: [S, S]``; off-diagonal
         valid pairs get the double-EMA (see module docstring), diagonal single."""
         self.distance_factors = merge_gcn_distances(self.distance_factors, gcn_dist, valid, weight)
-        n_changed = int(jnp.sum(valid))
-        if n_changed:
-            self.update_history.append(
-                {"epoch": len(self.update_history), "source": "temporal_gcn", "changes": n_changed}
-            )
+        # append per merge call, like the reference (proof.py:678-682 appends
+        # whenever the GCN returned distances); ``changes`` stays a DEVICE
+        # scalar — int(jnp.sum(valid)) here was one ~28 ms tunnel fetch per
+        # training epoch (~5.6 s per 10-task protocol) for bookkeeping nobody
+        # reads on the hot path. Materialize with int() when consuming.
+        self.update_history.append(
+            {"epoch": len(self.update_history), "source": "temporal_gcn",
+             "changes": jnp.sum(valid)}
+        )
 
     # ------------------------------------------------------------------
     def ema_update_from_batch(self, state_features: jax.Array, state_ids: jax.Array) -> jax.Array:
