@@ -141,3 +141,30 @@ def test_train_step_no_retrace_across_tasks(rng):
     )
     step(tr1, opt1, batch, ctx2, buffers, jax.random.PRNGKey(1), jnp.asarray(1))
     assert step._cache_size() == 1
+
+
+def test_jitted_init_bitwise_equals_eager():
+    """The learner builds params+buffers in ONE jitted graph (learners/
+    proof.py ensure-initialized — ~100 eager dispatches were 135.9 s of
+    tunnel time per protocol); the on-chip curve goldens assume the jitted
+    values are BITWISE the historical eager ones. On TPU that held only
+    after an optimization_barrier in init_fusion stopped `normal()*std`
+    from FMA-fusing into the erf_inv chain (scripts/r5_init_bitwise_probe.py
+    bisected it). Pin the invariant on CPU too so a barrier regression or a
+    new drifting init leaf turns the suite red without a chip."""
+    dims = ProofDims(feature_dim=16, max_classes=6, max_tasks=3, ctx_len=2,
+                     num_states=4, gcn_layers=2)
+    key = jax.random.PRNGKey(42)
+    ls = 4.6052
+
+    eager = (init_proof_params(key, dims, ls), init_buffers(dims))
+    jitted = jax.jit(lambda k: (init_proof_params(k, dims, ls),
+                                init_buffers(dims)))(key)
+
+    flat_e, tree_e = jax.tree_util.tree_flatten_with_path(eager)
+    flat_j, tree_j = jax.tree_util.tree_flatten_with_path(jitted)
+    assert tree_e == tree_j
+    for (path_e, leaf_e), (_, leaf_j) in zip(flat_e, flat_j):
+        a, b = np.asarray(leaf_e), np.asarray(leaf_j)
+        assert a.dtype == b.dtype and a.shape == b.shape, path_e
+        np.testing.assert_array_equal(a, b, err_msg=str(path_e))
